@@ -1,0 +1,67 @@
+"""Auto-reset: fold finished episodes back into the batch on device.
+
+The reference has no vector-env layer at all (SURVEY.md §2.11) — users
+re-call `reset()` from Python when `done`. Here the reset is part of the
+transition program: when an episode terminates or truncates, the state is
+replaced by a freshly generated one via `jax.tree.map(select)`, so a batch
+of environments runs forever with zero host round-trips.
+
+Each `EnvState` carries its own PRNG key (`state.rng`); the generator stores
+a fresh subkey into the new state, so reset chains are reproducible and
+independent across the batch.
+
+Two modes:
+  * "regen"  — sample a brand-new layout on every reset (reference
+               semantics; generation cost is paid every step in lockstep).
+  * "cached" — reset to the episode's original layout (cheap; exact for
+               deterministic-layout envs like the fixed Empty variants).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core.state import EnvState
+from minigrid_tpu.envs.base import Env
+
+
+def select_state(done: jnp.ndarray, fresh: EnvState, old: EnvState) -> EnvState:
+    """Per-leaf select between a fresh reset state and the stepped state."""
+
+    def pick(a, b):
+        d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+        return jnp.where(d, a, b)
+
+    return jax.tree.map(pick, fresh, old)
+
+
+def make_autoreset_step(
+    env: Env, mode: str = "regen"
+) -> Callable[[EnvState, jnp.ndarray], Tuple[EnvState, dict, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """A single-env step function with auto-reset folded in (vmap for batches).
+
+    Returns `(state, obs, reward, terminated, truncated)` where `state` is
+    already the post-reset state when the episode ended (the returned
+    obs/reward/flags describe the *finishing* transition, gymnasium
+    `autoreset`-style final observation excluded for device residency).
+    """
+    if mode not in ("regen", "cached"):
+        raise ValueError(f"unknown autoreset mode {mode!r}")
+
+    from minigrid_tpu.core.obs import gen_obs
+
+    def step(state: EnvState, action: jnp.ndarray):
+        res = env.transition(state, action, env.config)
+        done = res.terminated | res.truncated
+        obs = gen_obs(res.state, env.config)
+        if mode == "regen":
+            fresh = env.generate(res.state.rng, env.config)
+        else:
+            fresh = env.generate(state.rng, env.config)  # same key → same layout
+        new_state = select_state(done, fresh, res.state)
+        return new_state, obs, res.reward, res.terminated, res.truncated
+
+    return step

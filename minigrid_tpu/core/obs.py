@@ -1,0 +1,116 @@
+"""Egocentric observation encoder.
+
+Reference pipeline (`gen_obs_grid`/`gen_obs`, minigrid.py:~1162-1215):
+world-frame window → rotate to egocentric (agent facing up, bottom-center) →
+occlusion mask → carried-object overlay → `(V, V, 3)` uint8 encode.
+
+TPU-native shape: the window crop is a wall-padded `dynamic_slice`, the
+rotation is a 4-way `lax.switch` over static `rot90`s (XLA lowers each to a
+copy with permuted layout), the occlusion mask is the unrolled shift-OR scan
+in `vision.py`, and the encode is a masked select — one fused elementwise
+program per step under jit, batched for free under `vmap`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.grid import encode, slice_with_wall_fill
+from minigrid_tpu.core.state import (
+    CARRY_COLOR,
+    CARRY_CONT_COLOR,
+    CARRY_CONT_TYPE,
+    CARRY_TYPE,
+    EnvConfig,
+    EnvState,
+)
+from minigrid_tpu.core.vision import process_vis
+
+# Per-direction offset of the view window's top-left corner relative to the
+# agent (reference `get_view_exts`, minigrid.py:~1030-1060: the 4-way branch
+# flattened into a lookup table). Index 0=right, 1=down, 2=left, 3=up.
+def _view_ext_tables(view_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    half = view_size // 2
+    dx = np.array([0, -half, -view_size + 1, -half], dtype=np.int32)
+    dy = np.array([-half, 0, -half, -view_size + 1], dtype=np.int32)
+    return dx, dy
+
+
+def gen_obs_grid(state: EnvState, config: EnvConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The egocentric `(V, V, 5)` view grid and its `(V, V)` visibility mask.
+
+    Matches `MiniGridEnv.gen_obs_grid` (minigrid.py:~1162-1195): slice →
+    rotate `agent_dir + 1` times CCW → occlusion → carrying overlay.
+    """
+    v = config.agent_view_size
+    dx, dy = _view_ext_tables(v)
+    top_x = state.agent_pos[0] + jnp.asarray(dx)[state.agent_dir]
+    top_y = state.agent_pos[1] + jnp.asarray(dy)[state.agent_dir]
+
+    view = slice_with_wall_fill(state.grid, top_x, top_y, v, v)
+
+    # `for i in range(agent_dir + 1): grid = grid.rotate_left()` — i.e.
+    # rot90 CCW by k = (agent_dir + 1) % 4.
+    view = lax.switch(
+        state.agent_dir,
+        [
+            lambda g: jnp.rot90(g, k=1, axes=(0, 1)),
+            lambda g: jnp.rot90(g, k=2, axes=(0, 1)),
+            lambda g: jnp.rot90(g, k=3, axes=(0, 1)),
+            lambda g: g,
+        ],
+        view,
+    )
+
+    if config.see_through_walls:
+        vis_mask = jnp.ones((v, v), dtype=bool)
+    else:
+        vis_mask = process_vis(view)
+
+    # Overlay the carried object (or nothing) on the agent's own cell
+    # (minigrid.py:~1185-1192).
+    carrying = state.carrying
+    has_item = carrying[CARRY_TYPE] > 0
+    agent_cell = jnp.where(
+        has_item,
+        jnp.stack(
+            [
+                carrying[CARRY_TYPE],
+                carrying[CARRY_COLOR],
+                jnp.zeros((), jnp.uint8),
+                carrying[CARRY_CONT_TYPE],
+                carrying[CARRY_CONT_COLOR],
+            ]
+        ),
+        jnp.array([C.EMPTY, 0, 0, 0, 0], dtype=jnp.uint8),
+    )
+    view = view.at[v - 1, v // 2, :].set(agent_cell)
+    return view, vis_mask
+
+
+def gen_obs_image(state: EnvState, config: EnvConfig) -> jnp.ndarray:
+    """The `(V, V, 3)` uint8 partial observation (reference `gen_obs`'s
+    `obs['image']`, minigrid.py:~1197-1215; indexed `[x, y]` like the
+    reference's encode)."""
+    view, vis_mask = gen_obs_grid(state, config)
+    return encode(view, vis_mask)
+
+
+def gen_obs(state: EnvState, config: EnvConfig):
+    """Full observation: image + direction + mission ids.
+
+    The reference returns `{'image', 'direction', 'mission': str}`; mission
+    strings are host-side artifacts, so on device we carry the integer
+    mission encoding (template id + slots) and detokenize at the API
+    boundary (see `minigrid_tpu.envs.missions`).
+    """
+    return {
+        "image": gen_obs_image(state, config),
+        "direction": state.agent_dir,
+        "mission": state.mission,
+    }

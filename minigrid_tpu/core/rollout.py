@@ -1,0 +1,93 @@
+"""Device-resident rollout harness.
+
+`lax.scan` over a `vmap`'d auto-resetting step: the whole
+(T, B)-trajectory — including per-step observation encoding, episode
+bookkeeping, and resets — is one compiled XLA program. The reference's
+equivalent is the Python for-loop in benchmark.py:~15-70 (one env, one step
+per interpreter iteration).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from minigrid_tpu.core.autoreset import make_autoreset_step
+from minigrid_tpu.core.state import EnvState
+from minigrid_tpu.envs.base import Env
+
+
+class RolloutMetrics(NamedTuple):
+    """Running statistics accumulated inside the scan carry (no host sync)."""
+
+    episodes: jnp.ndarray  # () int32 — completed episodes
+    total_reward: jnp.ndarray  # () float32 — summed terminal rewards
+    total_steps: jnp.ndarray  # () int32
+
+
+class Transition(NamedTuple):
+    obs_image: jnp.ndarray  # (B, V, V, 3) uint8
+    action: jnp.ndarray  # (B,) int32
+    reward: jnp.ndarray  # (B,) float32
+    done: jnp.ndarray  # (B,) bool
+
+
+PolicyFn = Callable[[jax.Array, jnp.ndarray], jnp.ndarray]  # (key, obs_img) -> actions
+
+
+def random_policy(num_actions: int) -> PolicyFn:
+    def policy(key: jax.Array, obs_image: jnp.ndarray) -> jnp.ndarray:
+        return jax.random.randint(
+            key, (obs_image.shape[0],), 0, num_actions, dtype=jnp.int32
+        )
+
+    return policy
+
+
+def build_rollout(
+    env: Env,
+    num_steps: int,
+    policy: Optional[PolicyFn] = None,
+    collect: bool = False,
+):
+    """Returns `rollout(key, states) -> (states, metrics[, trajectory])`.
+
+    `states` is a batched `EnvState` (from `env.reset_batch`). The returned
+    function is jit-compatible; `num_steps` is static.
+    """
+    policy = policy or random_policy(env.num_actions)
+    auto_step = jax.vmap(make_autoreset_step(env), in_axes=(0, 0))
+    from minigrid_tpu.core.obs import gen_obs_image
+
+    batched_obs = jax.vmap(lambda s: gen_obs_image(s, env.config))
+
+    def body(carry, key_t):
+        states, metrics = carry
+        obs_img = batched_obs(states)
+        actions = policy(key_t, obs_img)
+        states, obs, reward, terminated, truncated = auto_step(states, actions)
+        done = terminated | truncated
+        metrics = RolloutMetrics(
+            episodes=metrics.episodes + jnp.sum(done.astype(jnp.int32)),
+            total_reward=metrics.total_reward + jnp.sum(reward),
+            total_steps=metrics.total_steps + done.shape[0],
+        )
+        out = Transition(obs_img, actions, reward, done) if collect else None
+        return (states, metrics), out
+
+    def rollout(key: jax.Array, states: EnvState):
+        keys = jax.random.split(key, num_steps)
+        metrics0 = RolloutMetrics(
+            episodes=jnp.zeros((), jnp.int32),
+            total_reward=jnp.zeros((), jnp.float32),
+            total_steps=jnp.zeros((), jnp.int32),
+        )
+        (states, metrics), traj = lax.scan(body, (states, metrics0), keys)
+        if collect:
+            return states, metrics, traj
+        return states, metrics
+
+    return rollout
