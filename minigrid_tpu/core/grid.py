@@ -80,6 +80,20 @@ def wall_rect(grid: jnp.ndarray, x: int, y: int, w: int, h: int) -> jnp.ndarray:
     return grid
 
 
+def paint_rect(
+    grid: jnp.ndarray, x0, y0, x1, y1, cell
+) -> jnp.ndarray:
+    """Fill every cell with `x0 <= x < x1 and y0 <= y < y1` (bounds may be
+    traced values — the dynamic-position analogue of the wall helpers,
+    used for generator-placed walls/strips like DoorKey's split wall)."""
+    h, w = grid.shape[:2]
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    mask = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
+    cell = jnp.asarray(cell, dtype=jnp.uint8)
+    return jnp.where(mask[:, :, None], cell, grid)
+
+
 def rotate_left(grid: jnp.ndarray) -> jnp.ndarray:
     """Rotate 90° counter-clockwise (`Grid.rotate_left`, minigrid.py:~450)."""
     return jnp.rot90(grid, k=1, axes=(0, 1))

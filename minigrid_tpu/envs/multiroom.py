@@ -1,0 +1,252 @@
+"""Multi-room environment — the reference's hardest generator.
+
+Reference: `MultiRoomEnv` (envs/multiroom.py:~1-180) — a chain of
+`minNumRooms..maxNumRooms` rooms of random size ≤ `maxRoomSize` connected by
+colored doors (consecutive doors differ in color), built by recursive
+backtracking `_placeRoom`, retried from scratch (keeping the longest chain)
+until enough rooms fit. Agent starts in the first room; goal in the last.
+
+Device rewrite with fixed shapes:
+  * the recursion is linear (a room chain), and a child call fails only at
+    its own placement check, so it flattens to: for each next room, up to 8
+    (exit-wall, exit-pos, size, top) draws, first valid wins — an unrolled
+    8-way masked select;
+  * the outer retry-until-enough-rooms loop becomes `lax.while_loop`
+    keeping the longest chain in the carry;
+  * room walls/doors are painted afterward with dynamic-bounds
+    `paint_rect` outlines masked by the live room count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid as G
+from minigrid_tpu.core import sampling
+from minigrid_tpu.core.state import EnvConfig, EnvState, empty_state
+from minigrid_tpu.core.step import base_step
+from minigrid_tpu.envs import missions
+from minigrid_tpu.envs.roomgrid import COLOR_ORDER
+
+MISSION = missions.register_template("traverse the rooms to get to the goal")
+
+MAX_ATTEMPTS = 200  # outer retry bound (reference loops unboundedly)
+
+
+class Chain(NamedTuple):
+    tops: jnp.ndarray  # (N, 2) int32
+    sizes: jnp.ndarray  # (N, 2) int32
+    entry: jnp.ndarray  # (N, 2) int32 — entry door position per room (idx>0 valid)
+    count: jnp.ndarray  # () int32
+
+
+def _try_chain(key: jax.Array, config: EnvConfig, num_rooms: jnp.ndarray) -> Chain:
+    """One full attempt at building a room chain (≡ one `_placeRoom`
+    recursion from a fresh entry position)."""
+    w, h = config.width, config.height
+    nmax = config.max_num_rooms
+    min_sz, max_sz = 4, config.max_room_size
+
+    tops = jnp.zeros((nmax, 2), jnp.int32)
+    sizes = jnp.zeros((nmax, 2), jnp.int32)
+    entry = jnp.zeros((nmax, 2), jnp.int32)
+
+    keys = jax.random.split(key, 3 + nmax * 8 * 5).reshape(-1, 2)
+    kidx = 0
+
+    def draw(lo, hi, i):
+        return jax.random.randint(keys[i], (), lo, hi, dtype=jnp.int32)
+
+    # First room: entryDoorPos is a fresh random point; top = that point.
+    ex = draw(0, w - 2, 0)
+    ey = draw(0, w - 2, 1)
+    sx = draw(min_sz, max_sz + 1, 2)
+    # NOTE: reference draws sizeX then sizeY from the same stream; keys are
+    # independent here (distribution-equivalent).
+    kidx = 3
+    sy = jax.random.randint(keys[kidx], (), min_sz, max_sz + 1, dtype=jnp.int32)
+    kidx += 1
+    # entryDoorWall=2 (left): topX = ex, topY = rand(ey - sy + 2, ey) — but
+    # for the FIRST room the reference uses top = entryDoorPos directly.
+    first_ok = (ex >= 0) & (ey >= 0) & (ex + sx <= w) & (ey + sy < h)
+    tops = tops.at[0].set(jnp.stack([ex, ey]))
+    sizes = sizes.at[0].set(jnp.stack([sx, sy]))
+    entry = entry.at[0].set(jnp.stack([ex, ey]))
+    count = jnp.where(first_ok, 1, 0)
+    entry_wall = jnp.int32(2)
+
+    def overlap_any(tx, ty, sx_, sy_, tops, sizes, upto):
+        """Strict overlap test vs rooms [0, upto) (reference's
+        `roomList[:-1]` check; upto excludes the parent)."""
+        idx = jnp.arange(nmax)
+        ox, oy = tops[:, 0], tops[:, 1]
+        osx, osy = sizes[:, 0], sizes[:, 1]
+        non_overlap = (
+            (tx + sx_ < ox) | (ox + osx <= tx) | (ty + sy_ < oy) | (oy + osy <= ty)
+        )
+        return jnp.any((idx < upto) & ~non_overlap)
+
+    # Rooms 1..nmax-1: 8 tries each, first valid wins.
+    for i in range(1, nmax):
+        parent_tx, parent_ty = tops[i - 1, 0], tops[i - 1, 1]
+        parent_sx, parent_sy = sizes[i - 1, 0], sizes[i - 1, 1]
+        placed = jnp.zeros((), bool)
+        # Chain alive, needs room i, and the target count isn't reached yet
+        # (the reference stops recursing at numLeft == 1).
+        need = (count == i) & (jnp.int32(i) < num_rooms)
+        for t in range(8):
+            base = kidx + 5 * (8 * (i - 1) + t)
+            # Exit wall: rand over sorted({0,1,2,3} \ {entry_wall}).
+            r = jax.random.randint(keys[base], (), 0, 3, dtype=jnp.int32)
+            exit_wall = jnp.where(r >= entry_wall, r + 1, r)
+            # Exit door position on the parent's exit wall.
+            rx = jax.random.randint(keys[base + 1], (), 1, jnp.maximum(2, parent_sx - 1))
+            ry = jax.random.randint(keys[base + 1], (), 1, jnp.maximum(2, parent_sy - 1))
+            exit_x = jnp.select(
+                [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+                [parent_tx + parent_sx - 1, parent_tx + rx, parent_tx, parent_tx + rx],
+            )
+            exit_y = jnp.select(
+                [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+                [parent_ty + ry, parent_ty + parent_sy - 1, parent_ty + ry, parent_ty],
+            )
+            next_entry_wall = (exit_wall + 2) % 4
+            # Child size + top.
+            csx = jax.random.randint(keys[base + 2], (), min_sz, max_sz + 1)
+            csy = jax.random.randint(keys[base + 3], (), min_sz, max_sz + 1)
+            off = jax.random.randint(keys[base + 4], (), 0, jnp.maximum(1, jnp.where(
+                (next_entry_wall == 0) | (next_entry_wall == 2), csy - 2, csx - 2)))
+            # top per entry wall (reference _placeRoom's 4-way branch):
+            #   wall 0 (entry on child's right): topX = ex-csx+1, topY = ey-csy+2+off
+            #   wall 1 (south): topX = ex-csx+2+off, topY = ey-csy+1
+            #   wall 2 (left):  topX = ex,          topY = ey-csy+2+off
+            #   wall 3 (top):   topX = ex-csx+2+off, topY = ey
+            ctx = jnp.select(
+                [next_entry_wall == 0, next_entry_wall == 1,
+                 next_entry_wall == 2, next_entry_wall == 3],
+                [exit_x - csx + 1, exit_x - csx + 2 + off, exit_x,
+                 exit_x - csx + 2 + off],
+            )
+            cty = jnp.select(
+                [next_entry_wall == 0, next_entry_wall == 1,
+                 next_entry_wall == 2, next_entry_wall == 3],
+                [exit_y - csy + 2 + off, exit_y - csy + 1, exit_y - csy + 2 + off,
+                 exit_y],
+            )
+            in_bounds = (ctx >= 0) & (cty >= 0) & (ctx + csx <= w) & (cty + csy < h)
+            ok = (
+                need
+                & ~placed
+                & in_bounds
+                & ~overlap_any(ctx, cty, csx, csy, tops, sizes, i - 1)
+            )
+            tops = jnp.where(ok, tops.at[i].set(jnp.stack([ctx, cty])), tops)
+            sizes = jnp.where(ok, sizes.at[i].set(jnp.stack([csx, csy])), sizes)
+            entry = jnp.where(ok, entry.at[i].set(jnp.stack([exit_x, exit_y])), entry)
+            entry_wall = jnp.where(ok, next_entry_wall, entry_wall)
+            placed = placed | ok
+        count = jnp.where(placed, i + 1, count)
+
+    return Chain(tops, sizes, entry, count)
+
+
+def generate(key: jax.Array, config: EnvConfig) -> EnvState:
+    key, k_reset = jax.random.split(key)
+    state = empty_state(config, rng=k_reset)
+    w, h = config.width, config.height
+    nmax = config.max_num_rooms
+
+    ks = jax.random.split(key, 6)
+    num_rooms = jax.random.randint(
+        ks[0], (), config.min_num_rooms, config.max_num_rooms + 1
+    )
+
+    # Retry keeping the longest chain until it has num_rooms rooms.
+    def cond(carry):
+        best, key, itrs = carry
+        return (best.count < num_rooms) & (itrs < MAX_ATTEMPTS)
+
+    def body(carry):
+        best, key, itrs = carry
+        key, sub = jax.random.split(key)
+        cand = _try_chain(sub, config, num_rooms)
+        better = cand.count > best.count
+        best = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, best)
+        return best, key, itrs + 1
+
+    empty_chain = Chain(
+        jnp.zeros((nmax, 2), jnp.int32),
+        jnp.zeros((nmax, 2), jnp.int32),
+        jnp.zeros((nmax, 2), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    chain, _, _ = lax.while_loop(cond, body, (empty_chain, ks[1], jnp.int32(0)))
+    n = chain.count  # dynamic ≤ nmax
+
+    # Paint room wall outlines (active rooms only).
+    grid = state.grid
+    for i in range(nmax):
+        act = i < n
+        tx, ty = chain.tops[i, 0], chain.tops[i, 1]
+        sx, sy = chain.sizes[i, 0], chain.sizes[i, 1]
+        x1 = jnp.where(act, tx + sx, tx)
+        y1 = jnp.where(act, ty + sy, ty)
+        grid = G.paint_rect(grid, tx, ty, x1, ty + 1, G.WALL_CELL)
+        grid = G.paint_rect(grid, tx, jnp.where(act, ty + sy - 1, ty), x1,
+                            y1, G.WALL_CELL)
+        grid = G.paint_rect(grid, tx, ty, tx + 1, y1, G.WALL_CELL)
+        grid = G.paint_rect(grid, jnp.where(act, tx + sx - 1, tx), ty, x1,
+                            y1, G.WALL_CELL)
+
+    # Entry doors with consecutive-color-distinct chain, drawn in the
+    # reference's sorted-color-list coordinates.
+    door_keys = jax.random.split(ks[2], nmax)
+    prev_sorted = jnp.int32(-1)
+    color_order = jnp.asarray(COLOR_ORDER, jnp.uint8)
+    for i in range(1, nmax):
+        act = i < n
+        has_prev = prev_sorted >= 0
+        r6 = jax.random.randint(door_keys[i], (), 0, 6)
+        r5 = jax.random.randint(door_keys[i], (), 0, 5)
+        pick = jnp.where(has_prev, jnp.where(r5 >= prev_sorted, r5 + 1, r5), r6)
+        color = color_order[pick]
+        cell = jnp.stack(
+            [jnp.uint8(C.DOOR), color, jnp.uint8(C.STATE_CLOSED),
+             jnp.uint8(0), jnp.uint8(0)]
+        )
+        ex, ey = chain.entry[i, 0], chain.entry[i, 1]
+        old = grid[ey, ex]
+        grid = G.set_cell(grid, ex, ey, jnp.where(act, cell, old))
+        prev_sorted = jnp.where(act, pick, prev_sorted)
+
+    # Agent in room 0; goal in the last room.
+    t0, s0 = chain.tops[0], chain.sizes[0]
+    mask0 = sampling.rect_mask(h, w, t0[0], t0[1], s0[0], s0[1])
+    ax, ay = sampling.sample_cell(
+        ks[3], sampling.free_cell_mask(grid, None) & mask0
+    )
+    agent_pos = jnp.stack([ax, ay])
+    agent_dir = sampling.sample_direction(ks[4])
+
+    tl = chain.tops[jnp.maximum(n - 1, 0)]
+    sl = chain.sizes[jnp.maximum(n - 1, 0)]
+    maskl = sampling.rect_mask(h, w, tl[0], tl[1], sl[0], sl[1])
+    gx, gy = sampling.sample_cell(
+        ks[5], sampling.free_cell_mask(grid, agent_pos) & maskl
+    )
+    grid = G.set_cell(grid, gx, gy, (C.GOAL, C.GREEN, 0, 0, 0))
+
+    return state.replace(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        mission=jnp.asarray(missions.encode(MISSION)),
+    )
+
+
+step = base_step

@@ -1,0 +1,313 @@
+"""RoomGrid: multi-room level scaffolding.
+
+Reference: `gym_minigrid/roomgrid.py` (~400 LoC) — a `num_rows × num_cols`
+matrix of `room_size²` rooms sharing wall lines, with per-room door slots
+(order: right, down, left, up), random door positions on each shared wall,
+object placement helpers, and the randomized `connect_all` loop.
+
+Device rewrite: the room matrix is static structure; the mutable parts —
+grid array, door positions `(R, C, 4, 2)`, door existence `(R, C, 4)`,
+locked flags `(R, C)` — live in a small `RG` carry threaded through pure
+helper functions. `connect_all`'s stateful randomized loop becomes a
+`lax.while_loop` whose reachability check is a ≤R·C-step mask flood over
+the door adjacency (all shapes static).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid as G
+from minigrid_tpu.core import sampling
+from minigrid_tpu.core.state import EnvConfig
+
+# _rand_color draws uniformly from sorted COLOR_NAMES (minigrid.py:~885).
+COLOR_ORDER = tuple(C.COLOR_TO_IDX[name] for name in C.COLOR_NAMES)
+
+# Door slot order: right, down, left, up (roomgrid.py:~142-200); slot k's
+# wall direction vector is DIR_TO_VEC[k].
+RIGHT, DOWN, LEFT, UP = 0, 1, 2, 3
+
+
+class RG(NamedTuple):
+    """Mutable room-grid build state (all arrays, jit-traceable)."""
+
+    grid: jnp.ndarray  # (H, W, 5) uint8
+    door_pos: jnp.ndarray  # (R, Cc, 4, 2) int32 — (x, y) per slot
+    has_door: jnp.ndarray  # (R, Cc, 4) bool
+    door_locked: jnp.ndarray  # (R, Cc, 4) bool
+    locked: jnp.ndarray  # (R, Cc) bool — room contains/owns a locked door
+    agent_pos: jnp.ndarray  # (2,) int32
+
+
+def rand_color(key: jax.Array) -> jnp.ndarray:
+    """Uniform color id in the reference's sorted-name order."""
+    return jnp.asarray(COLOR_ORDER, jnp.uint8)[jax.random.randint(key, (), 0, 6)]
+
+
+def room_top(config: EnvConfig, i, j) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-left corner of room (i=col, j=row)."""
+    s = config.room_size - 1
+    return jnp.asarray(i) * s, jnp.asarray(j) * s
+
+
+def init(key: jax.Array, config: EnvConfig, base_grid: jnp.ndarray) -> RG:
+    """Paint all room walls, draw random door positions, center the agent.
+
+    Mirrors `RoomGrid._gen_grid` (roomgrid.py:~142-200): every room gets a
+    `wall_rect`; each right/down shared wall gets a random candidate door
+    position (left/up slots alias the neighbor's right/down slot).
+    """
+    rows, cols, rs = config.num_rows, config.num_cols, config.room_size
+    grid = base_grid
+
+    for j in range(rows):
+        for i in range(cols):
+            tx, ty = i * (rs - 1), j * (rs - 1)
+            grid = G.wall_rect(grid, tx, ty, rs, rs)
+
+    door_pos = jnp.zeros((rows, cols, 4, 2), jnp.int32)
+    keys = jax.random.split(key, rows * cols * 2).reshape(rows, cols, 2, 2)
+    for j in range(rows):
+        for i in range(cols):
+            tx, ty = i * (rs - 1), j * (rs - 1)
+            if i < cols - 1:  # right wall slot
+                y = jax.random.randint(keys[j, i, 0], (), ty + 1, ty + rs - 1)
+                door_pos = door_pos.at[j, i, RIGHT].set(
+                    jnp.stack([jnp.int32(tx + rs - 1), y])
+                )
+            if j < rows - 1:  # down wall slot
+                x = jax.random.randint(keys[j, i, 1], (), tx + 1, tx + rs - 1)
+                door_pos = door_pos.at[j, i, DOWN].set(
+                    jnp.stack([x, jnp.int32(ty + rs - 1)])
+                )
+    # Left/up slots alias the neighbor's right/down positions.
+    for j in range(rows):
+        for i in range(cols):
+            if i > 0:
+                door_pos = door_pos.at[j, i, LEFT].set(door_pos[j, i - 1, RIGHT])
+            if j > 0:
+                door_pos = door_pos.at[j, i, UP].set(door_pos[j - 1, i, DOWN])
+
+    # Agent starts at the center of the middle room facing right
+    # (roomgrid.py:~195); env subclasses usually re-place it.
+    ax = (cols // 2) * (rs - 1) + rs // 2
+    ay = (rows // 2) * (rs - 1) + rs // 2
+
+    return RG(
+        grid=grid,
+        door_pos=door_pos,
+        has_door=jnp.zeros((rows, cols, 4), bool),
+        door_locked=jnp.zeros((rows, cols, 4), bool),
+        locked=jnp.zeros((rows, cols), bool),
+        agent_pos=jnp.asarray([ax, ay], jnp.int32),
+    )
+
+
+def neighbor_exists(config: EnvConfig, i, j, k):
+    """Whether room (i, j) has a neighbor across wall slot k (static-shape)."""
+    rows, cols = config.num_rows, config.num_cols
+    i, j = jnp.asarray(i), jnp.asarray(j)
+    return jnp.stack(
+        [i < cols - 1, j < rows - 1, i > 0, j > 0]
+    )[k]
+
+
+def _neighbor_idx(i, j, k):
+    dx = jnp.asarray(C.DIR_TO_VEC)[k]
+    return i + dx[0], j + dx[1]
+
+
+def add_door(
+    rg: RG,
+    config: EnvConfig,
+    i,
+    j,
+    k,
+    color: jnp.ndarray,
+    locked,
+) -> RG:
+    """Create a door on room (i, j)'s wall slot k (`RoomGrid.add_door`,
+    roomgrid.py:~247-290). Registers the door on both rooms."""
+    i = jnp.asarray(i, jnp.int32)
+    j = jnp.asarray(j, jnp.int32)
+    k = jnp.asarray(k, jnp.int32)
+    locked = jnp.asarray(locked, bool)
+    pos = rg.door_pos[j, i, k]
+    state = jnp.where(locked, jnp.uint8(C.STATE_LOCKED), jnp.uint8(C.STATE_CLOSED))
+    cell = jnp.stack(
+        [jnp.uint8(C.DOOR), jnp.asarray(color, jnp.uint8), state,
+         jnp.uint8(0), jnp.uint8(0)]
+    )
+    grid = G.set_cell(rg.grid, pos[0], pos[1], cell)
+
+    ni, nj = _neighbor_idx(i, j, k)
+    has_door = rg.has_door.at[j, i, k].set(True).at[nj, ni, (k + 2) % 4].set(True)
+    door_locked = (
+        rg.door_locked.at[j, i, k].set(locked)
+        .at[nj, ni, (k + 2) % 4].set(locked)
+    )
+    room_locked = rg.locked.at[j, i].set(rg.locked[j, i] | locked)
+    return rg._replace(
+        grid=grid, has_door=has_door, door_locked=door_locked, locked=room_locked
+    )
+
+
+def remove_wall(rg: RG, config: EnvConfig, i: int, j: int, k: int) -> RG:
+    """Knock out the interior of a shared wall (`RoomGrid.remove_wall`,
+    roomgrid.py:~292-330). i/j/k static."""
+    rs = config.room_size
+    tx, ty = i * (rs - 1), j * (rs - 1)
+    grid = rg.grid
+    if k == RIGHT:
+        grid = G.paint_rect(grid, tx + rs - 1, ty + 1, tx + rs, ty + rs - 1, G.EMPTY_CELL)
+    elif k == DOWN:
+        grid = G.paint_rect(grid, tx + 1, ty + rs - 1, tx + rs - 1, ty + rs, G.EMPTY_CELL)
+    elif k == LEFT:
+        grid = G.paint_rect(grid, tx, ty + 1, tx + 1, ty + rs - 1, G.EMPTY_CELL)
+    else:  # UP
+        grid = G.paint_rect(grid, tx + 1, ty, tx + rs - 1, ty + 1, G.EMPTY_CELL)
+    ni, nj = i + int(C.DIR_TO_VEC[k][0]), j + int(C.DIR_TO_VEC[k][1])
+    # Mark both rooms as connected through this wall for reachability.
+    has_door = rg.has_door.at[j, i, k].set(True).at[nj, ni, (k + 2) % 4].set(True)
+    return rg._replace(grid=grid, has_door=has_door)
+
+
+def room_interior_mask(config: EnvConfig, i, j) -> jnp.ndarray:
+    """(H, W) mask of room (i, j)'s full rect (walls excluded implicitly by
+    the free-cell test, matching `place_obj(top=room.top, size=room.size)`)."""
+    rs = config.room_size
+    tx, ty = room_top(config, i, j)
+    return sampling.rect_mask(config.height, config.width, tx, ty, rs, rs)
+
+
+def reject_next_to_mask(config: EnvConfig, agent_pos) -> jnp.ndarray:
+    """Reject cells with Manhattan distance < 2 from the agent
+    (`reject_next_to`, roomgrid.py:~8-18)."""
+    ys = jnp.arange(config.height)[:, None]
+    xs = jnp.arange(config.width)[None, :]
+    d = jnp.abs(xs - agent_pos[0]) + jnp.abs(ys - agent_pos[1])
+    return d >= 2
+
+
+def place_in_room(
+    rg: RG, config: EnvConfig, key: jax.Array, i, j, cell
+) -> Tuple[RG, jnp.ndarray, jnp.ndarray]:
+    """Place one object cell in room (i, j) (`place_in_room`,
+    roomgrid.py:~202-220). Returns (rg, x, y)."""
+    mask = (
+        sampling.free_cell_mask(rg.grid, rg.agent_pos)
+        & room_interior_mask(config, i, j)
+        & reject_next_to_mask(config, rg.agent_pos)
+    )
+    x, y = sampling.sample_cell(key, mask)
+    grid = G.set_cell(rg.grid, x, y, cell)
+    return rg._replace(grid=grid), x, y
+
+
+def add_object(
+    rg: RG,
+    config: EnvConfig,
+    key: jax.Array,
+    i,
+    j,
+    kind: Optional[int] = None,
+    color: Optional[jnp.ndarray] = None,
+) -> Tuple[RG, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`RoomGrid.add_object` (roomgrid.py:~222-245): random kind in
+    {key, ball, box} / random color when unspecified.
+    Returns (rg, type, color, x, y)."""
+    k_kind, k_color, k_pos = jax.random.split(key, 3)
+    if kind is None:
+        kind_arr = jnp.asarray([C.KEY, C.BALL, C.BOX], jnp.uint8)[
+            jax.random.randint(k_kind, (), 0, 3)
+        ]
+    else:
+        kind_arr = jnp.asarray(kind, jnp.uint8)
+    if color is None:
+        color = rand_color(k_color)
+    color = jnp.asarray(color, jnp.uint8)
+    z = jnp.uint8(0)
+    cell = jnp.stack([kind_arr, color, z, z, z])
+    rg, x, y = place_in_room(rg, config, k_pos, i, j, cell)
+    return rg, kind_arr, color, x, y
+
+
+def place_agent(
+    rg: RG, config: EnvConfig, key: jax.Array, i, j
+) -> Tuple[RG, jnp.ndarray]:
+    """Re-place the agent in room (i, j) with a random heading
+    (`RoomGrid.place_agent`, roomgrid.py + minigrid.py:~955)."""
+    k_pos, k_dir = jax.random.split(key)
+    mask = sampling.free_cell_mask(rg.grid, None) & room_interior_mask(config, i, j)
+    x, y = sampling.sample_cell(k_pos, mask)
+    rg = rg._replace(agent_pos=jnp.stack([x, y]))
+    return rg, sampling.sample_direction(k_dir)
+
+
+def reach_mask(rg: RG, config: EnvConfig, start_i, start_j) -> jnp.ndarray:
+    """(R, Cc) bool — rooms reachable from start through existing doors
+    (`connect_all`'s `find_reach`, roomgrid.py:~340-355)."""
+    rows, cols = config.num_rows, config.num_cols
+    reach = jnp.zeros((rows, cols), bool).at[start_j, start_i].set(True)
+    for _ in range(rows * cols):
+        # Propagate through each slot direction.
+        r = reach
+        right = jnp.pad(r[:, :-1] & rg.has_door[:, :-1, RIGHT], ((0, 0), (1, 0)))
+        left = jnp.pad(r[:, 1:] & rg.has_door[:, 1:, LEFT], ((0, 0), (0, 1)))
+        down = jnp.pad(r[:-1, :] & rg.has_door[:-1, :, DOWN], ((1, 0), (0, 0)))
+        up = jnp.pad(r[1:, :] & rg.has_door[1:, :, UP], ((0, 1), (0, 0)))
+        reach = r | right | left | down | up
+    return reach
+
+
+def connect_all(
+    rg: RG, config: EnvConfig, key: jax.Array, max_itrs: int = 5000
+) -> RG:
+    """Randomly add unlocked doors until every room is reachable from the
+    agent's room (`RoomGrid.connect_all`, roomgrid.py:~332-375)."""
+    rows, cols, rs = config.num_rows, config.num_cols, config.room_size
+    start_i = rg.agent_pos[0] // (rs - 1)
+    start_j = rg.agent_pos[1] // (rs - 1)
+    # Clamp to the last room for positions on the final shared wall line.
+    start_i = jnp.minimum(start_i, cols - 1)
+    start_j = jnp.minimum(start_j, rows - 1)
+
+    def cond(carry):
+        rg, key, itrs = carry
+        connected = jnp.all(reach_mask(rg, config, start_i, start_j))
+        return ~connected & (itrs < max_itrs)
+
+    def body(carry):
+        rg, key, itrs = carry
+        key, k_i, k_j, k_k, k_c = jax.random.split(key, 5)
+        i = jax.random.randint(k_i, (), 0, cols)
+        j = jax.random.randint(k_j, (), 0, rows)
+        k = jax.random.randint(k_k, (), 0, 4)
+        ni, nj = _neighbor_idx(i, j, k)
+        ok = (
+            neighbor_exists(config, i, j, k)
+            & ~rg.has_door[j, i, k]
+            & ~rg.locked[j, i]
+            & ~rg.locked[nj % rows, ni % cols]
+        )
+        color = rand_color(k_c)
+        added = add_door(
+            rg._replace(),  # copy
+            config,
+            jnp.where(ok, i, 0),
+            jnp.where(ok, j, 0),
+            jnp.where(ok, k, 0),
+            color,
+            False,
+        )
+        new_rg = jax.tree.map(lambda a, b: jnp.where(ok, a, b), added, rg)
+        return new_rg, key, itrs + 1
+
+    rg, _, _ = lax.while_loop(cond, body, (rg, key, jnp.int32(0)))
+    return rg
