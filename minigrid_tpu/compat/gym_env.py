@@ -1,0 +1,172 @@
+"""Gymnasium adapter: drop-in class-based environments.
+
+Wraps a pure-functional `Env` in the stateful `gymnasium.Env` interface a
+reference user expects (`gym.make` + `reset()`/`step()` on a mutable
+object), with jit-compiled reset/step under the hood. `OldGymShim` restores
+the old-gym 4-tuple `(obs, reward, done, info)` contract the reference uses
+(minigrid.py:~1087 returns no terminated/truncated split).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import gymnasium
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gymnasium import spaces
+
+import minigrid_tpu
+from minigrid_tpu.envs import missions
+from minigrid_tpu.envs.base import Env
+
+
+class MiniGridGymEnv(gymnasium.Env):
+    """Stateful adapter over a functional `Env`.
+
+    Mirrors the reference `MiniGridEnv`'s external API surface
+    (minigrid.py:~667-1300): `action_space=Discrete(N)`,
+    `observation_space` with the `(V, V, 3)` image box, `reset`, `step`,
+    `render`, `seed`, `hash`, and ASCII `__str__`.
+    """
+
+    metadata = {"render_modes": ["rgb_array", "ansi"], "render_fps": 10}
+    reward_range = (0.0, 1.0)
+
+    def __init__(self, env: Env, render_mode: Optional[str] = None):
+        self.fenv = env
+        self.render_mode = render_mode
+        v = env.config.agent_view_size
+        self.action_space = spaces.Discrete(env.config.num_actions)
+        self.observation_space = spaces.Dict(
+            {
+                "image": spaces.Box(0, 255, (v, v, 3), dtype=np.uint8),
+                "direction": spaces.Discrete(4),
+                "mission": spaces.Text(max_length=256),
+            }
+        )
+        self._reset_fn = jax.jit(env.reset)
+        self._step_fn = jax.jit(env.step)
+        self._seed = 0
+        self.state = None
+
+    # ------------------------------------------------------------- plumbing
+    def _host_obs(self, obs) -> Dict[str, Any]:
+        if isinstance(obs, dict):
+            out = {k: np.asarray(v) for k, v in obs.items()}
+            if "mission" in out:
+                out["mission"] = missions.detokenize(out["mission"])
+            if "direction" in out:
+                out["direction"] = int(out["direction"])
+            return out
+        return np.asarray(obs)
+
+    # ------------------------------------------------------------------ API
+    def seed(self, seed: int = 1337):
+        self._seed = int(seed)
+        return [self._seed]
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        if seed is not None:
+            self._seed = int(seed)
+        else:
+            self._seed += 1
+        key = jax.random.PRNGKey(self._seed)
+        self.state, obs = self._reset_fn(key)
+        return self._host_obs(obs), {}
+
+    def step(self, action):
+        self.state, obs, reward, terminated, truncated = self._step_fn(
+            self.state, jnp.asarray(int(action), jnp.int32)
+        )
+        return (
+            self._host_obs(obs),
+            float(reward),
+            bool(terminated),
+            bool(truncated),
+            {},
+        )
+
+    def render(self, highlight: bool = True, tile_size: int = 32):
+        if self.render_mode == "ansi":
+            return self.__str__()
+        from minigrid_tpu.render.render import render_state
+
+        return np.asarray(
+            render_state(self.state, self.fenv.config, tile_size, highlight)
+        )
+
+    def hash(self, size: int = 16) -> str:
+        """Deterministic state hash (`MiniGridEnv.hash`, minigrid.py:~758):
+        sha256 over (encoded grid, agent_pos, agent_dir)."""
+        import hashlib
+
+        from minigrid_tpu.core.grid import encode
+
+        to_encode = [
+            np.asarray(encode(self.state.grid)).tolist(),
+            np.asarray(self.state.agent_pos).tolist(),
+            int(self.state.agent_dir),
+        ]
+        sample_hash = hashlib.sha256()
+        for item in to_encode:
+            sample_hash.update(str(item).encode("utf8"))
+        return sample_hash.hexdigest()[:size]
+
+    def __str__(self) -> str:
+        from minigrid_tpu.utils.ascii import render_ascii
+
+        return render_ascii(self.state)
+
+    def close(self):
+        pass
+
+    # Convenience passthroughs matching reference attribute names.
+    @property
+    def agent_pos(self):
+        return tuple(np.asarray(self.state.agent_pos))
+
+    @property
+    def agent_dir(self):
+        return int(self.state.agent_dir)
+
+    @property
+    def mission(self) -> str:
+        return missions.detokenize(np.asarray(self.state.mission))
+
+    @property
+    def max_steps(self) -> int:
+        return self.fenv.config.max_steps
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step_count)
+
+
+class OldGymShim:
+    """Old-gym API shim: 4-tuple step, reset returns obs only
+    (the reference's contract — SURVEY.md §3.2)."""
+
+    def __init__(self, env: MiniGridGymEnv):
+        self.env = env
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def seed(self, seed=1337):
+        return self.env.seed(seed)
+
+    def reset(self):
+        obs, _ = self.env.reset(seed=self.env._seed)
+        return obs
+
+    def step(self, action) -> Tuple[Any, float, bool, dict]:
+        obs, reward, terminated, truncated, info = self.env.step(action)
+        return obs, reward, terminated or truncated, info
+
+
+def gym_make(env_id: str, render_mode: Optional[str] = None, old_api: bool = False):
+    """`gym.make` equivalent resolving against our registry."""
+    env = MiniGridGymEnv(minigrid_tpu.make(env_id), render_mode=render_mode)
+    return OldGymShim(env) if old_api else env

@@ -28,29 +28,38 @@ from minigrid_tpu.core.step import StepResult
 
 GenerateFn = Callable[[jax.Array, EnvConfig], EnvState]
 StepFn = Callable[[EnvState, jnp.ndarray, EnvConfig], StepResult]
+ObserveFn = Callable[[EnvState, EnvConfig], Any]
 
 Obs = Dict[str, Any]
 
 
 @dataclasses.dataclass(frozen=True)
 class Env:
-    """A pure-functional environment (single instance; vmap for batches)."""
+    """A pure-functional environment (single instance; vmap for batches).
+
+    `observe` is the pluggable observation encoder (default: the
+    reference's dict of image/direction/mission); wrappers in
+    `minigrid_tpu.wrappers` produce new `Env`s with alternate encoders,
+    step transforms, or configs — the functional equivalent of the
+    reference's `gym.core.Wrapper` stack (wrappers.py:~12-345).
+    """
 
     env_id: str
     config: EnvConfig
     generate: GenerateFn
     transition: StepFn
+    observe: ObserveFn = dataclasses.field(default=gen_obs)
 
     # ------------------------------------------------------------------ API
     def reset(self, key: jax.Array) -> Tuple[EnvState, Obs]:
         state = self.generate(key, self.config)
-        return state, gen_obs(state, self.config)
+        return state, self.observe(state, self.config)
 
     def step(
         self, state: EnvState, action: jnp.ndarray
     ) -> Tuple[EnvState, Obs, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         res = self.transition(state, jnp.asarray(action), self.config)
-        obs = gen_obs(res.state, self.config)
+        obs = self.observe(res.state, self.config)
         return res.state, obs, res.reward, res.terminated, res.truncated
 
     # ------------------------------------------------------- batched helpers
