@@ -44,28 +44,35 @@ def _view_ext_tables(view_size: int) -> Tuple[np.ndarray, np.ndarray]:
 def gen_obs_grid(state: EnvState, config: EnvConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The egocentric `(V, V, 5)` view grid and its `(V, V)` visibility mask.
 
-    Matches `MiniGridEnv.gen_obs_grid` (minigrid.py:~1162-1195): slice →
-    rotate `agent_dir + 1` times CCW → occlusion → carrying overlay.
+    Matches `MiniGridEnv.gen_obs_grid` (minigrid.py:~1162-1195) — but where
+    the reference slices a window, wall-fills out-of-bounds cells, and
+    rotates `agent_dir + 1` times CCW, we fuse all three into ONE gather:
+    egocentric view cell (row, col) maps affinely to world coordinates
+
+        world = agent_pos + f_vec·(V-1-row) + r_vec·(col - V//2)
+
+    (f_vec = heading, r_vec = its right-perpendicular — the same transform
+    the reference uses for its render highlight mask, minigrid.py:~1255).
+    Under `vmap` a `lax.switch` over rotations would compute all four
+    branches and select; the affine gather does the work once.
     """
     v = config.agent_view_size
-    dx, dy = _view_ext_tables(v)
-    top_x = state.agent_pos[0] + jnp.asarray(dx)[state.agent_dir]
-    top_y = state.agent_pos[1] + jnp.asarray(dy)[state.agent_dir]
+    h, w = config.height, config.width
 
-    view = slice_with_wall_fill(state.grid, top_x, top_y, v, v)
+    f = jnp.asarray(C.DIR_TO_VEC)[state.agent_dir]  # (2,) heading
+    r = jnp.stack([-f[1], f[0]])  # right-perpendicular
 
-    # `for i in range(agent_dir + 1): grid = grid.rotate_left()` — i.e.
-    # rot90 CCW by k = (agent_dir + 1) % 4.
-    view = lax.switch(
-        state.agent_dir,
-        [
-            lambda g: jnp.rot90(g, k=1, axes=(0, 1)),
-            lambda g: jnp.rot90(g, k=2, axes=(0, 1)),
-            lambda g: jnp.rot90(g, k=3, axes=(0, 1)),
-            lambda g: g,
-        ],
-        view,
-    )
+    rows = (v - 1) - jnp.arange(v)  # forward distance per view row
+    cols = jnp.arange(v) - v // 2  # lateral offset per view col
+    wx = state.agent_pos[0] + f[0] * rows[:, None] + r[0] * cols[None, :]
+    wy = state.agent_pos[1] + f[1] * rows[:, None] + r[1] * cols[None, :]
+
+    in_bounds = (wx >= 0) & (wx < w) & (wy >= 0) & (wy < h)
+    wxc = jnp.clip(wx, 0, w - 1)
+    wyc = jnp.clip(wy, 0, h - 1)
+    view = state.grid[wyc, wxc]  # (V, V, 5) gather
+    wall = jnp.array((C.WALL, C.GREY, 0, 0, 0), dtype=jnp.uint8)
+    view = jnp.where(in_bounds[:, :, None], view, wall)
 
     if config.see_through_walls:
         vis_mask = jnp.ones((v, v), dtype=bool)

@@ -26,6 +26,10 @@ class RolloutMetrics(NamedTuple):
     episodes: jnp.ndarray  # () int32 — completed episodes
     total_reward: jnp.ndarray  # () float32 — summed terminal rewards
     total_steps: jnp.ndarray  # () int32
+    obs_checksum: jnp.ndarray  # () int32 — folds every obs byte into the
+    # carry so the observation encoder is a live data dependency (otherwise
+    # XLA dead-code-eliminates obs under a random policy and benchmarks
+    # measure a step-only program)
 
 
 class Transition(NamedTuple):
@@ -74,6 +78,8 @@ def build_rollout(
             episodes=metrics.episodes + jnp.sum(done.astype(jnp.int32)),
             total_reward=metrics.total_reward + jnp.sum(reward),
             total_steps=metrics.total_steps + done.shape[0],
+            obs_checksum=metrics.obs_checksum
+            + jnp.sum(obs["image"].astype(jnp.int32)),
         )
         out = Transition(obs_img, actions, reward, done) if collect else None
         return (states, metrics), out
@@ -84,6 +90,7 @@ def build_rollout(
             episodes=jnp.zeros((), jnp.int32),
             total_reward=jnp.zeros((), jnp.float32),
             total_steps=jnp.zeros((), jnp.int32),
+            obs_checksum=jnp.zeros((), jnp.int32),
         )
         (states, metrics), traj = lax.scan(body, (states, metrics0), keys)
         if collect:

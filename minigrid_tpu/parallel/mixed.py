@@ -1,0 +1,141 @@
+"""Heterogeneous env batches: different families stepped in one program.
+
+BASELINE.md config #5 calls for a mixed LavaCrossing+FourRooms batch sharded
+over hosts. Grids are padded to the largest member's dims (padding cells are
+walls, which are inert — every family's real border wall already bounds the
+playable area), per-env family ids ride in the last `aux` slot, and
+reset/step/observe dispatch through `lax.switch`. Under `vmap` the switch
+computes every family's branch and selects per env — the standard SPMD
+trade; with F families the step costs ≤ F× a homogeneous step, and the
+whole batch stays in one jitted program shardable over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import minigrid_tpu
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.obs import gen_obs
+from minigrid_tpu.core.state import AUX_LEN, EnvState
+from minigrid_tpu.core.step import StepResult
+from minigrid_tpu.envs.base import Env
+
+# aux slot holding the member index (families use low slots only).
+FAMILY_SLOT = AUX_LEN - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MixedEnv:
+    """A fixed roster of member envs steppable as one batch."""
+
+    env_ids: Tuple[str, ...]
+    members: Tuple[Env, ...]
+    height: int
+    width: int
+    agent_view_size: int
+    num_actions: int
+
+    @staticmethod
+    def create(env_ids: Sequence[str]) -> "MixedEnv":
+        members = tuple(minigrid_tpu.make(e) for e in env_ids)
+        views = {m.config.agent_view_size for m in members}
+        assert len(views) == 1, "members must share agent_view_size"
+        return MixedEnv(
+            env_ids=tuple(env_ids),
+            members=members,
+            height=max(m.config.height for m in members),
+            width=max(m.config.width for m in members),
+            agent_view_size=views.pop(),
+            num_actions=max(m.config.num_actions for m in members),
+        )
+
+    # ------------------------------------------------------------ internals
+    def _pad_state(self, state: EnvState, member_idx: int) -> EnvState:
+        """Embed a member's state into the padded canvas (wall fill)."""
+        h, w = state.grid.shape[:2]
+        wall = jnp.array((C.WALL, C.GREY, 0, 0, 0), dtype=jnp.uint8)
+        grid = jnp.broadcast_to(wall, (self.height, self.width, 5)).astype(jnp.uint8)
+        grid = lax.dynamic_update_slice(grid, state.grid, (0, 0, 0))
+        aux = state.aux.at[FAMILY_SLOT].set(member_idx)
+        return state.replace(grid=grid, aux=aux)
+
+    def _branch_config(self, member: Env):
+        """Member config with padded dims (semantics like max_steps,
+        see_through_walls, num_actions stay the member's own)."""
+        return dataclasses.replace(
+            member.config, width=self.width, height=self.height
+        )
+
+    # ------------------------------------------------------------------ API
+    def reset(self, key: jax.Array, member_idx: jnp.ndarray):
+        """Generate a state for member `member_idx` (traced)."""
+
+        def branch(i):
+            m = self.members[i]
+
+            def gen(key):
+                return self._pad_state(m.generate(key, m.config), i)
+
+            return gen
+
+        state = lax.switch(
+            jnp.asarray(member_idx, jnp.int32),
+            [branch(i) for i in range(len(self.members))],
+            key,
+        )
+        return state, self.observe(state)
+
+    def observe(self, state: EnvState):
+        idx = state.aux[FAMILY_SLOT]
+        return lax.switch(
+            jnp.asarray(idx, jnp.int32),
+            [
+                (lambda cfg: (lambda s: gen_obs(s, cfg)))(self._branch_config(m))
+                for m in self.members
+            ],
+            state,
+        )
+
+    def step(self, state: EnvState, action: jnp.ndarray):
+        idx = state.aux[FAMILY_SLOT]
+
+        def make_branch(m: Env):
+            cfg = self._branch_config(m)
+
+            def br(operand):
+                s, a = operand
+                return m.transition(s, a, cfg)
+
+            return br
+
+        res: StepResult = lax.switch(
+            jnp.asarray(idx, jnp.int32),
+            [make_branch(m) for m in self.members],
+            (state, jnp.asarray(action, jnp.int32)),
+        )
+        return res.state, self.observe(res.state), res.reward, res.terminated, res.truncated
+
+    # --------------------------------------------------------- batched use
+    def reset_batch(self, key: jax.Array, member_ids: jnp.ndarray):
+        keys = jax.random.split(key, member_ids.shape[0])
+        return jax.vmap(self.reset)(keys, member_ids)
+
+    def autoreset_step(self):
+        """Single-env auto-resetting step (vmap for batches): finished
+        episodes regenerate a fresh layout of the SAME member."""
+        from minigrid_tpu.core.autoreset import select_state
+
+        def step(state: EnvState, action: jnp.ndarray):
+            new_state, obs, reward, term, trunc = self.step(state, action)
+            done = term | trunc
+            fresh, _ = self.reset(new_state.rng, new_state.aux[FAMILY_SLOT])
+            out = select_state(done, fresh, new_state)
+            return out, obs, reward, term, trunc
+
+        return step

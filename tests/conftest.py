@@ -7,13 +7,21 @@ GSPMD partitioner and collectives.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The environment's TPU plugin may force `jax_platforms` via
+# `jax.config.update` at interpreter startup (sitecustomize), which beats
+# the env var — override it back after import so tests really run on the
+# 8-device CPU mesh and never contend for the real chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA CPU compile time dominates the suite's
 # wall-clock; cache compiled programs across test runs.

@@ -1,0 +1,85 @@
+"""Sharded execution tests on the virtual 8-device CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import minigrid_tpu
+from minigrid_tpu.parallel.sharding import (
+    ENV_AXIS,
+    env_sharding,
+    make_env_mesh,
+    shard_states,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def env8():
+    return minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        assert jax.device_count() == 8, "conftest should provide 8 CPU devices"
+        mesh = make_env_mesh()
+        assert mesh.devices.shape == (8, 1)
+        mesh = make_env_mesh(model_parallel=2)
+        assert mesh.devices.shape == (4, 2)
+
+    def test_sharded_rollout_matches_single_device(self):
+        from minigrid_tpu.core.rollout import build_rollout
+
+        env = env8()
+        mesh = make_env_mesh()
+        B = 16
+        rollout = jax.jit(build_rollout(env, num_steps=32))
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(0), B
+        )
+
+        # Single-device run.
+        s1, m1 = rollout(jax.random.PRNGKey(1), states)
+
+        # Sharded run: same program, batch split over the env axis.
+        sharded = shard_states(states, mesh)
+        s2, m2 = rollout(jax.random.PRNGKey(1), sharded)
+
+        assert int(m1.episodes) == int(m2.episodes)
+        assert float(m1.total_reward) == pytest.approx(float(m2.total_reward), rel=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(s1.step_count), np.asarray(s2.step_count)
+        )
+        np.testing.assert_array_equal(np.asarray(s1.grid), np.asarray(s2.grid))
+
+    def test_train_step_runs_sharded(self):
+        from minigrid_tpu.parallel.train import build_train_step, init_train_state
+
+        env = env8()
+        mesh = make_env_mesh()
+        key = jax.random.PRNGKey(0)
+        ts = init_train_state(key, env, mesh)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(key, 16)
+        states = shard_states(states, mesh)
+        train_step = build_train_step(env, mesh, num_steps=4)
+        ts2, states2, metrics = train_step(ts, states, key)
+        assert np.isfinite(float(metrics["loss"]))
+        # Params changed (an update actually happened).
+        p0 = jax.tree.leaves(ts.params)[0]
+        p1 = jax.tree.leaves(ts2.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+    def test_global_batch_helper(self):
+        from minigrid_tpu.parallel.distributed import make_global_batch, process_info
+
+        env = env8()
+        mesh = make_env_mesh()
+        states, keys = make_global_batch(env, jax.random.PRNGKey(0), 16, mesh)
+        # Batch is addressable and matches unsharded generation.
+        ref, _ = jax.vmap(env.reset)(keys)
+        np.testing.assert_array_equal(np.asarray(states.grid), np.asarray(ref.grid))
+        info = process_info()
+        assert info["global_device_count"] == 8
