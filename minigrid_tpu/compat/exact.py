@@ -661,6 +661,248 @@ class CompatEnv:
         return True
 
 
+    # ----------------------------------------------- RoomGrid machinery
+    # Exact call-order replay of gym_minigrid/roomgrid.py (~400 LoC).
+
+    def _roomgrid_init(self):
+        cfg = self.config
+        rs, rows, cols = cfg.room_size, cfg.num_rows, cfg.num_cols
+        self.rooms = [[None] * cols for _ in range(rows)]
+        for j in range(rows):
+            for i in range(cols):
+                top = (i * (rs - 1), j * (rs - 1))
+                self.rooms[j][i] = dict(
+                    top=top, size=(rs, rs),
+                    door_pos=[None] * 4, doors=[None] * 4, locked=False,
+                )
+                self.wall_rect(top[0], top[1], rs, rs)
+        # Door-position draws: row-major, right then down per room.
+        for j in range(rows):
+            for i in range(cols):
+                room = self.rooms[j][i]
+                x_l, y_t = room["top"][0] + 1, room["top"][1] + 1
+                x_m = room["top"][0] + rs - 1
+                y_m = room["top"][1] + rs - 1
+                if i < cols - 1:
+                    room["door_pos"][0] = (x_m, self._rand_int(y_t, y_m))
+                if j < rows - 1:
+                    room["door_pos"][1] = (self._rand_int(x_l, x_m), y_m)
+                if i > 0:
+                    room["door_pos"][2] = self.rooms[j][i - 1]["door_pos"][0]
+                if j > 0:
+                    room["door_pos"][3] = self.rooms[j - 1][i]["door_pos"][1]
+        self.agent_pos = np.array(
+            ((cols // 2) * (rs - 1) + rs // 2, (rows // 2) * (rs - 1) + rs // 2)
+        )
+        self.agent_dir = 0
+
+    def _rg_neighbor(self, i, j, k):
+        di, dj = C.DIR_TO_VEC[k]
+        ni, nj = i + di, j + dj
+        if 0 <= ni < self.config.num_cols and 0 <= nj < self.config.num_rows:
+            return ni, nj
+        return None
+
+    def _rg_add_door(self, i, j, door_idx=None, color=None, locked=None):
+        room = self.rooms[j][i]
+        if door_idx is None:
+            while True:
+                door_idx = self._rand_int(0, 4)
+                if self._rg_neighbor(i, j, door_idx):
+                    break
+        if color is None:
+            color = self._rand_color()
+        if locked is None:
+            locked = self._rand_bool()
+        room["locked"] = locked
+        pos = room["door_pos"][door_idx]
+        state = C.STATE_LOCKED if locked else C.STATE_CLOSED
+        self.grid[pos[1], pos[0]] = _cell(C.DOOR, C.COLOR_TO_IDX[color], state)
+        room["doors"][door_idx] = color
+        ni, nj = self._rg_neighbor(i, j, door_idx)
+        self.rooms[nj][ni]["doors"][(door_idx + 2) % 4] = color
+        return color, pos
+
+    def _rg_remove_wall(self, i, j, wall_idx):
+        room = self.rooms[j][i]
+        tx, ty = room["top"]
+        w, h = room["size"]
+        if wall_idx == 0:
+            for k in range(1, h - 1):
+                self.grid[ty + k, tx + w - 1] = EMPTY_CELL
+        elif wall_idx == 1:
+            for k in range(1, w - 1):
+                self.grid[ty + h - 1, tx + k] = EMPTY_CELL
+        elif wall_idx == 2:
+            for k in range(1, h - 1):
+                self.grid[ty + k, tx] = EMPTY_CELL
+        else:
+            for k in range(1, w - 1):
+                self.grid[ty, tx + k] = EMPTY_CELL
+        room["doors"][wall_idx] = "__removed__"
+        ni, nj = self._rg_neighbor(i, j, wall_idx)
+        self.rooms[nj][ni]["doors"][(wall_idx + 2) % 4] = "__removed__"
+
+    def _rg_place_in_room(self, i, j, cell):
+        room = self.rooms[j][i]
+
+        def reject_next_to(env, pos):
+            sx, sy = env.agent_pos
+            return abs(sx - pos[0]) + abs(sy - pos[1]) < 2
+
+        return self.place_obj(
+            cell, room["top"], room["size"], reject_fn=reject_next_to,
+            max_tries=1000,
+        )
+
+    def _rg_add_object(self, i, j, kind=None, color=None):
+        if kind is None:
+            kind = self._rand_elem(["key", "ball", "box"])
+        if color is None:
+            color = self._rand_color()
+        t = {"key": C.KEY, "ball": C.BALL, "box": C.BOX}[kind]
+        pos = self._rg_place_in_room(i, j, _cell(t, C.COLOR_TO_IDX[color]))
+        return (kind, color), pos
+
+    def _rg_place_agent(self, i, j, rand_dir=True):
+        room = self.rooms[j][i]
+        while True:
+            self.place_agent(room["top"], room["size"], rand_dir, max_tries=1000)
+            fx = self.agent_pos[0] + C.DIR_TO_VEC[self.agent_dir][0]
+            fy = self.agent_pos[1] + C.DIR_TO_VEC[self.agent_dir][1]
+            ft = self.grid[fy, fx, 0]
+            if ft in (C.EMPTY, C.WALL):
+                break
+
+    def _rg_reachable(self):
+        start = (
+            min(int(self.agent_pos[0]) // (self.config.room_size - 1),
+                self.config.num_cols - 1),
+            min(int(self.agent_pos[1]) // (self.config.room_size - 1),
+                self.config.num_rows - 1),
+        )
+        reach, stack = set(), [start]
+        while stack:
+            (i, j) = stack.pop()
+            if (i, j) in reach:
+                continue
+            reach.add((i, j))
+            for k in range(4):
+                if self.rooms[j][i]["doors"][k]:
+                    stack.append(self._rg_neighbor(i, j, k))
+        return reach
+
+    def _rg_connect_all(self, door_colors=C.COLOR_NAMES, max_itrs=5000):
+        for n in range(max_itrs):
+            if len(self._rg_reachable()) == (
+                self.config.num_rows * self.config.num_cols
+            ):
+                return
+            i = self._rand_int(0, self.config.num_cols)
+            j = self._rand_int(0, self.config.num_rows)
+            k = self._rand_int(0, 4)
+            room = self.rooms[j][i]
+            if not room["door_pos"][k] or room["doors"][k]:
+                continue
+            ni, nj = self._rg_neighbor(i, j, k) or (None, None)
+            if ni is None:
+                continue
+            if room["locked"] or self.rooms[nj][ni]["locked"]:
+                continue
+            color = self._rand_elem(door_colors)
+            self._rg_add_door(i, j, k, color, False)
+        raise RecursionError("connect_all failed")
+
+    # ------------------------------------------------- RoomGrid families
+    def _gen_unlock(self):
+        self._roomgrid_init()
+        color, pos = self._rg_add_door(0, 0, 0, locked=True)
+        self._rg_add_object(0, 0, "key", color)
+        self._rg_place_agent(0, 0)
+        self.aux[0:2] = pos
+        self.mission = "open the door"
+
+    def _gen_unlockpickup(self, blocked=False):
+        self._roomgrid_init()
+        (kind, ocolor), _ = self._rg_add_object(1, 0, kind="box")
+        color, pos = self._rg_add_door(0, 0, 0, locked=True)
+        if blocked:
+            bcolor = self._rand_color()
+            self.grid[pos[1], pos[0] - 1] = _cell(C.BALL, C.COLOR_TO_IDX[bcolor])
+        self._rg_add_object(0, 0, "key", color)
+        self._rg_place_agent(0, 0)
+        self.aux[0] = C.BOX
+        self.aux[1] = C.COLOR_TO_IDX[ocolor]
+        self.mission = "pick up the %s %s" % (ocolor, kind)
+
+    def _gen_blockedunlockpickup(self):
+        self._gen_unlockpickup(blocked=True)
+
+    def _gen_keycorridor(self):
+        self._roomgrid_init()
+        for j in range(1, self.config.num_rows):
+            self._rg_remove_wall(1, j, 3)
+        room_idx = self._rand_int(0, self.config.num_rows)
+        door_color, _ = self._rg_add_door(2, room_idx, 2, locked=True)
+        (kind, ocolor), _ = self._rg_add_object(2, room_idx, kind="ball")
+        self._rg_add_object(0, self._rand_int(0, self.config.num_rows), "key",
+                            door_color)
+        self._rg_place_agent(1, self.config.num_rows // 2)
+        self._rg_connect_all()
+        self.aux[0] = C.BALL
+        self.aux[1] = C.COLOR_TO_IDX[ocolor]
+        self.mission = "pick up the %s %s" % (ocolor, kind)
+
+    def _gen_obstructedmaze(self):
+        self._roomgrid_init()
+        door_colors = self._rand_subset(C.COLOR_NAMES, len(C.COLOR_NAMES))
+        ball_color = C.COLOR_NAMES[0]
+        block_color = C.COLOR_NAMES[1]
+        box_color = C.COLOR_NAMES[2]
+        extras = self.config.extras
+
+        def om_add_door(i, j, door_idx, color, locked, key_in_box, blocked):
+            dcolor, pos = self._rg_add_door(i, j, door_idx, color, locked)
+            if blocked:
+                vec = C.DIR_TO_VEC[door_idx]
+                self.grid[pos[1] - vec[1], pos[0] - vec[0]] = _cell(
+                    C.BALL, C.COLOR_TO_IDX[block_color]
+                )
+            if locked:
+                if key_in_box:
+                    cell = _cell(
+                        C.BOX, C.COLOR_TO_IDX[box_color], 0,
+                        C.KEY, C.COLOR_TO_IDX[dcolor],
+                    )
+                else:
+                    cell = _cell(C.KEY, C.COLOR_TO_IDX[dcolor])
+                self._rg_place_in_room(i, j, cell)
+
+        if extras[0] == "1D":
+            _, key_in_box, blocked = extras
+            om_add_door(0, 0, 0, door_colors[0], True, key_in_box, blocked)
+            self._rg_add_object(1, 0, "ball", ball_color)
+            self._rg_place_agent(0, 0)
+        else:
+            _, agent_i, agent_j, key_in_box, blocked, num_quarters = extras
+            side_rooms = [(2, 1), (1, 2), (0, 1), (1, 0)][:num_quarters]
+            for idx, (si, sj) in enumerate(side_rooms):
+                self._rg_add_door(1, 1, idx, door_colors[idx], False)
+                for k_off in (-1, 1):
+                    om_add_door(
+                        si, sj, (idx + k_off) % 4,
+                        door_colors[(idx + k_off) % len(door_colors)],
+                        True, key_in_box, blocked,
+                    )
+            corners = [(2, 0), (2, 2), (0, 2), (0, 0)][:num_quarters]
+            ball_room = corners[self._rand_int(0, len(corners))]
+            self._rg_add_object(ball_room[0], ball_room[1], "ball", ball_color)
+            self._rg_place_agent(agent_i, agent_j)
+        self.aux[0] = C.BALL
+        self.aux[1] = C.COLOR_TO_IDX[ball_color]
+        self.mission = "pick up the %s ball" % ball_color
+
+
 def state_to_device(compat_state: dict, config: EnvConfig, key=None):
     """Upload a compat layout to a device `EnvState`."""
     import jax

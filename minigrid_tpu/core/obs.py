@@ -70,7 +70,16 @@ def gen_obs_grid(state: EnvState, config: EnvConfig) -> Tuple[jnp.ndarray, jnp.n
     in_bounds = (wx >= 0) & (wx < w) & (wy >= 0) & (wy < h)
     wxc = jnp.clip(wx, 0, w - 1)
     wyc = jnp.clip(wy, 0, h - 1)
-    view = state.grid[wyc, wxc]  # (V, V, 5) gather
+
+    # Extract the V×V window as a one-hot contraction instead of a gather:
+    # TPU gathers scalarize, but `onehot(idx) @ grid` is an MXU matmul.
+    # Cell values (≤ 10) are exact in bf16; accumulation in f32 is exact.
+    flat_idx = wyc * w + wxc  # (V, V) int32
+    onehot = (flat_idx[:, :, None] == jnp.arange(h * w)).astype(jnp.bfloat16)
+    grid_flat = state.grid.reshape(h * w, 5).astype(jnp.bfloat16)
+    view = jnp.einsum(
+        "abn,nc->abc", onehot, grid_flat, preferred_element_type=jnp.float32
+    ).astype(jnp.uint8)
     wall = jnp.array((C.WALL, C.GREY, 0, 0, 0), dtype=jnp.uint8)
     view = jnp.where(in_bounds[:, :, None], view, wall)
 

@@ -241,13 +241,39 @@ def add_object(
 def place_agent(
     rg: RG, config: EnvConfig, key: jax.Array, i, j
 ) -> Tuple[RG, jnp.ndarray]:
-    """Re-place the agent in room (i, j) with a random heading
-    (`RoomGrid.place_agent`, roomgrid.py + minigrid.py:~955)."""
-    k_pos, k_dir = jax.random.split(key)
-    mask = sampling.free_cell_mask(rg.grid, None) & room_interior_mask(config, i, j)
-    x, y = sampling.sample_cell(k_pos, mask)
-    rg = rg._replace(agent_pos=jnp.stack([x, y]))
-    return rg, sampling.sample_direction(k_dir)
+    """Re-place the agent in room (i, j) with a random heading.
+
+    `RoomGrid.place_agent` additionally rejects placements whose FRONT cell
+    holds an object (it retries until the front cell is empty or a wall) —
+    the rejection loop over uniform (pos, dir) proposals converges to the
+    uniform distribution over valid (pos, dir) pairs, so we sample that
+    directly from an (H, W, 4) validity mask."""
+    h, w = config.height, config.width
+    free = sampling.free_cell_mask(rg.grid, None) & room_interior_mask(config, i, j)
+
+    # front_ok[y, x, d]: cell one step along d is empty or wall.
+    t = rg.grid[:, :, 0]
+    ok_cell = (t == C.EMPTY) | (t == C.WALL)
+    pad = jnp.zeros((1,) * 0, dtype=bool)  # noqa: F841 (clarity)
+    front_ok = jnp.stack(
+        [
+            jnp.pad(ok_cell[:, 1:], ((0, 0), (0, 1))),  # d=0 right
+            jnp.pad(ok_cell[1:, :], ((0, 1), (0, 0))),  # d=1 down
+            jnp.pad(ok_cell[:, :-1], ((0, 0), (1, 0))),  # d=2 left
+            jnp.pad(ok_cell[:-1, :], ((1, 0), (0, 0))),  # d=3 up
+        ],
+        axis=-1,
+    )
+    valid = free[:, :, None] & front_ok  # (H, W, 4)
+    flat = valid.reshape(-1)
+    logits = jnp.where(flat, 0.0, -jnp.inf)
+    logits = jnp.where(jnp.any(flat), logits, jnp.zeros_like(logits))
+    idx = jax.random.categorical(key, logits)
+    d = idx % 4
+    x = (idx // 4) % w
+    y = idx // (4 * w)
+    rg = rg._replace(agent_pos=jnp.stack([x, y]).astype(jnp.int32))
+    return rg, d.astype(jnp.int32)
 
 
 def reach_mask(rg: RG, config: EnvConfig, start_i, start_j) -> jnp.ndarray:

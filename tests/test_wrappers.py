@@ -148,7 +148,9 @@ class TestExactReplay:
     @pytest.mark.parametrize(
         "env_id",
         ["MiniGrid-Empty-8x8-v0", "MiniGrid-DoorKey-8x8-v0",
-         "MiniGrid-LavaCrossingS9N2-v0", "MiniGrid-MultiRoom-N4-S5-v0"],
+         "MiniGrid-LavaCrossingS9N2-v0", "MiniGrid-MultiRoom-N4-S5-v0",
+         "MiniGrid-Unlock-v0", "MiniGrid-BlockedUnlockPickup-v0",
+         "MiniGrid-KeyCorridorS3R3-v0", "MiniGrid-ObstructedMaze-Full-v0"],
     )
     def test_deterministic_and_steppable(self, env_id):
         from minigrid_tpu.compat.exact import CompatEnv, state_to_device
@@ -157,10 +159,11 @@ class TestExactReplay:
         b = CompatEnv(env_id, seed=1337).reset()
         np.testing.assert_array_equal(a["grid"], b["grid"])
         np.testing.assert_array_equal(a["agent_pos"], b["agent_pos"])
-        c = CompatEnv(env_id, seed=7).reset()
-        assert not np.array_equal(a["grid"], c["grid"]) or not np.array_equal(
-            a["agent_pos"], c["agent_pos"]
-        )
+        if env_id != "MiniGrid-Empty-8x8-v0":  # fixed layout: no RNG at all
+            c = CompatEnv(env_id, seed=7).reset()
+            assert not np.array_equal(a["grid"], c["grid"]) or not np.array_equal(
+                a["agent_pos"], c["agent_pos"]
+            )
         # The layout steps through the device kernel.
         env = minigrid_tpu.make(env_id)
         ds = state_to_device(a, env.config)
