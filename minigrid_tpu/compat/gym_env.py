@@ -18,6 +18,7 @@ import numpy as np
 from gymnasium import spaces
 
 import minigrid_tpu
+from minigrid_tpu.core import view
 from minigrid_tpu.envs import missions
 from minigrid_tpu.envs.base import Env
 
@@ -35,6 +36,9 @@ class MiniGridGymEnv(gymnasium.Env):
     reward_range = (0.0, 1.0)
 
     def __init__(self, env: Env, render_mode: Optional[str] = None):
+        from minigrid_tpu.core.state import Actions
+
+        self.actions = Actions  # reference `self.actions` (minigrid.py:~700)
         self.fenv = env
         self.render_mode = render_mode
         v = env.config.agent_view_size
@@ -122,6 +126,52 @@ class MiniGridGymEnv(gymnasium.Env):
     def close(self):
         pass
 
+    def get_obs_render(self, obs_image, tile_size: int = 32):
+        """Render an encoded partial observation (`get_obs_render`,
+        minigrid.py:~1217-1240)."""
+        from minigrid_tpu.render.render import render_obs_image
+
+        return np.asarray(render_obs_image(jnp.asarray(obs_image), tile_size))
+
+    # --------------------------------------------- pose / view geometry
+    # Reference `MiniGridEnv` members (minigrid.py:~972-1085), delegated to
+    # the pure transforms in `minigrid_tpu.core.view`.
+    def get_view_coords(self, i: int, j: int):
+        vx, vy = view.get_view_coords(
+            self.state.agent_pos,
+            self.state.agent_dir,
+            self.fenv.config.agent_view_size,
+            i,
+            j,
+        )
+        return int(vx), int(vy)
+
+    def get_view_exts(self):
+        return tuple(
+            int(e)
+            for e in view.get_view_exts(
+                self.state.agent_pos,
+                self.state.agent_dir,
+                self.fenv.config.agent_view_size,
+            )
+        )
+
+    def relative_coords(self, x: int, y: int):
+        vx, vy, valid = view.relative_coords(
+            self.state.agent_pos,
+            self.state.agent_dir,
+            self.fenv.config.agent_view_size,
+            x,
+            y,
+        )
+        return (int(vx), int(vy)) if bool(valid) else None
+
+    def in_view(self, x: int, y: int) -> bool:
+        return self.relative_coords(x, y) is not None
+
+    def agent_sees(self, x: int, y: int) -> bool:
+        return bool(view.agent_sees(self.state, self.fenv.config, x, y))
+
     # Convenience passthroughs matching reference attribute names.
     @property
     def agent_pos(self):
@@ -130,6 +180,29 @@ class MiniGridGymEnv(gymnasium.Env):
     @property
     def agent_dir(self):
         return int(self.state.agent_dir)
+
+    @property
+    def dir_vec(self):
+        return np.asarray(view.dir_vec(self.state.agent_dir))
+
+    @property
+    def right_vec(self):
+        return np.asarray(view.right_vec(self.state.agent_dir))
+
+    @property
+    def front_pos(self):
+        return np.asarray(view.front_pos(self.state.agent_pos, self.state.agent_dir))
+
+    @property
+    def carrying(self):
+        """(type_name, color_name) of the held object, or None — the closest
+        array analog of the reference's `self.carrying` WorldObj."""
+        c = np.asarray(self.state.carrying)
+        if c[0] == 0:
+            return None
+        from minigrid_tpu.core.constants import IDX_TO_COLOR, IDX_TO_OBJECT
+
+        return (IDX_TO_OBJECT[int(c[0])], IDX_TO_COLOR[int(c[1])])
 
     @property
     def mission(self) -> str:
@@ -142,6 +215,26 @@ class MiniGridGymEnv(gymnasium.Env):
     @property
     def step_count(self) -> int:
         return int(self.state.step_count)
+
+    @property
+    def steps_remaining(self) -> int:
+        return self.max_steps - self.step_count
+
+    @property
+    def width(self) -> int:
+        return self.fenv.config.width
+
+    @property
+    def height(self) -> int:
+        return self.fenv.config.height
+
+    @property
+    def agent_view_size(self) -> int:
+        return self.fenv.config.agent_view_size
+
+    @property
+    def see_through_walls(self) -> bool:
+        return self.fenv.config.see_through_walls
 
 
 class OldGymShim:

@@ -44,24 +44,25 @@ def make_autoreset_step(
     """A single-env step function with auto-reset folded in (vmap for batches).
 
     Returns `(state, obs, reward, terminated, truncated)` where `state` is
-    already the post-reset state when the episode ended (the returned
-    obs/reward/flags describe the *finishing* transition, gymnasium
-    `autoreset`-style final observation excluded for device residency).
+    already the post-reset state when the episode ended and `obs` observes
+    that post-reset state — i.e. `obs` is always the next policy input
+    (gymnasium vector-`autoreset` semantics: the terminal observation is
+    dropped for device residency; reward/flags describe the finishing
+    transition). This lets rollout loops carry `obs` in the scan instead of
+    re-encoding, so the encoder runs exactly once per step.
     """
     if mode not in ("regen", "cached"):
         raise ValueError(f"unknown autoreset mode {mode!r}")
 
-    from minigrid_tpu.core.obs import gen_obs
-
     def step(state: EnvState, action: jnp.ndarray):
         res = env.transition(state, action, env.config)
         done = res.terminated | res.truncated
-        obs = gen_obs(res.state, env.config)
         if mode == "regen":
             fresh = env.generate(res.state.rng, env.config)
         else:
             fresh = env.generate(state.rng, env.config)  # same key → same layout
         new_state = select_state(done, fresh, res.state)
+        obs = env.observe(new_state, env.config)
         return new_state, obs, res.reward, res.terminated, res.truncated
 
     return step

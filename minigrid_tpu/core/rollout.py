@@ -64,25 +64,29 @@ def build_rollout(
     """
     policy = policy or random_policy(env.num_actions)
     auto_step = jax.vmap(make_autoreset_step(env), in_axes=(0, 0))
-    from minigrid_tpu.core.obs import gen_obs_image
 
-    batched_obs = jax.vmap(lambda s: gen_obs_image(s, env.config))
+    def batched_obs(states):
+        obs = jax.vmap(lambda s: env.observe(s, env.config))(states)
+        return obs["image"] if isinstance(obs, dict) else obs
 
     def body(carry, key_t):
-        states, metrics = carry
-        obs_img = batched_obs(states)
+        # The obs the policy acts on is carried forward from the previous
+        # step's auto-reset output — the encoder runs exactly ONCE per step
+        # (computing it fresh here would double the obs cost, the single
+        # largest term in the step budget).
+        states, obs_img, metrics = carry
         actions = policy(key_t, obs_img)
         states, obs, reward, terminated, truncated = auto_step(states, actions)
+        next_img = obs["image"] if isinstance(obs, dict) else obs
         done = terminated | truncated
         metrics = RolloutMetrics(
             episodes=metrics.episodes + jnp.sum(done.astype(jnp.int32)),
             total_reward=metrics.total_reward + jnp.sum(reward),
             total_steps=metrics.total_steps + done.shape[0],
-            obs_checksum=metrics.obs_checksum
-            + jnp.sum(obs["image"].astype(jnp.int32)),
+            obs_checksum=metrics.obs_checksum + jnp.sum(next_img.astype(jnp.int32)),
         )
         out = Transition(obs_img, actions, reward, done) if collect else None
-        return (states, metrics), out
+        return (states, next_img, metrics), out
 
     def rollout(key: jax.Array, states: EnvState):
         keys = jax.random.split(key, num_steps)
@@ -92,7 +96,8 @@ def build_rollout(
             total_steps=jnp.zeros((), jnp.int32),
             obs_checksum=jnp.zeros((), jnp.int32),
         )
-        (states, metrics), traj = lax.scan(body, (states, metrics0), keys)
+        obs0 = batched_obs(states)
+        (states, _, metrics), traj = lax.scan(body, (states, obs0, metrics0), keys)
         if collect:
             return states, metrics, traj
         return states, metrics

@@ -73,8 +73,8 @@ class MixedEnv:
         )
 
     # ------------------------------------------------------------------ API
-    def reset(self, key: jax.Array, member_idx: jnp.ndarray):
-        """Generate a state for member `member_idx` (traced)."""
+    def _generate(self, key: jax.Array, member_idx: jnp.ndarray) -> EnvState:
+        """Generate a state for member `member_idx` (traced), no obs."""
 
         def branch(i):
             m = self.members[i]
@@ -84,11 +84,14 @@ class MixedEnv:
 
             return gen
 
-        state = lax.switch(
+        return lax.switch(
             jnp.asarray(member_idx, jnp.int32),
             [branch(i) for i in range(len(self.members))],
             key,
         )
+
+    def reset(self, key: jax.Array, member_idx: jnp.ndarray):
+        state = self._generate(key, member_idx)
         return state, self.observe(state)
 
     def observe(self, state: EnvState):
@@ -102,7 +105,7 @@ class MixedEnv:
             state,
         )
 
-    def step(self, state: EnvState, action: jnp.ndarray):
+    def _transition(self, state: EnvState, action: jnp.ndarray) -> StepResult:
         idx = state.aux[FAMILY_SLOT]
 
         def make_branch(m: Env):
@@ -114,11 +117,14 @@ class MixedEnv:
 
             return br
 
-        res: StepResult = lax.switch(
+        return lax.switch(
             jnp.asarray(idx, jnp.int32),
             [make_branch(m) for m in self.members],
             (state, jnp.asarray(action, jnp.int32)),
         )
+
+    def step(self, state: EnvState, action: jnp.ndarray):
+        res = self._transition(state, action)
         return res.state, self.observe(res.state), res.reward, res.terminated, res.truncated
 
     # --------------------------------------------------------- batched use
@@ -128,14 +134,16 @@ class MixedEnv:
 
     def autoreset_step(self):
         """Single-env auto-resetting step (vmap for batches): finished
-        episodes regenerate a fresh layout of the SAME member."""
+        episodes regenerate a fresh layout of the SAME member. The returned
+        obs observes the post-reset state (next policy input), so the
+        encoder runs exactly once per step."""
         from minigrid_tpu.core.autoreset import select_state
 
         def step(state: EnvState, action: jnp.ndarray):
-            new_state, obs, reward, term, trunc = self.step(state, action)
-            done = term | trunc
-            fresh, _ = self.reset(new_state.rng, new_state.aux[FAMILY_SLOT])
-            out = select_state(done, fresh, new_state)
-            return out, obs, reward, term, trunc
+            res = self._transition(state, action)
+            done = res.terminated | res.truncated
+            fresh = self._generate(res.state.rng, res.state.aux[FAMILY_SLOT])
+            out = select_state(done, fresh, res.state)
+            return out, self.observe(out), res.reward, res.terminated, res.truncated
 
         return step

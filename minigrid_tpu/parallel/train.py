@@ -71,21 +71,29 @@ def build_train_step(
 
     def rollout(params, states: EnvState, key: jax.Array):
         def body(carry, key_t):
-            states = carry
-            obs = batched_obs(states)
+            # Pre-action obs rides the carry from the previous auto-reset
+            # step, so the encoder runs once per step (not twice).
+            states, obs = carry
             logits, value = model.apply(params, obs)
             actions = jax.random.categorical(key_t, logits)
             logp = jax.nn.log_softmax(logits)[
                 jnp.arange(actions.shape[0]), actions
             ]
-            states, _, reward, term, trunc = auto_step(
+            states, next_obs, reward, term, trunc = auto_step(
                 states, actions.astype(jnp.int32)
             )
             done = term | trunc
-            return states, (obs, actions, logp, value, reward, done)
+            return (states, next_obs["image"]), (
+                obs,
+                actions,
+                logp,
+                value,
+                reward,
+                done,
+            )
 
         keys = jax.random.split(key, num_steps)
-        states, traj = lax.scan(body, states, keys)
+        (states, _), traj = lax.scan(body, (states, batched_obs(states)), keys)
         return states, traj
 
     def loss_fn(params, states, key):

@@ -15,6 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Persistent compilation cache: XLA CPU compile time dominates the suite's
+# wall-clock; cache compiled programs across test runs.
+#
+# Cache READS are always on; cache WRITES are off by default because XLA
+# CPU's `executable.serialize()` (called only on the write path) segfaults
+# sporadically in long-running processes on this jaxlib (observed repeatedly
+# under the full suite; never on the read path). Warm the cache with
+# `python tools_warm_cache.py` (sets MGTPU_CACHE_WRITE=1 and loops pytest
+# until clean); normal runs then hit the cache without ever serializing.
+_WRITE = os.environ.get("MGTPU_CACHE_WRITE", "0") == "1"
+
 # The environment's TPU plugin may force `jax_platforms` via
 # `jax.config.update` at interpreter startup (sitecustomize), which beats
 # the env var — override it back after import so tests really run on the
@@ -22,9 +33,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-# Persistent compilation cache: XLA CPU compile time dominates the suite's
-# wall-clock; cache compiled programs across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs", 0.1 if _WRITE else 1e9
+)
