@@ -39,6 +39,18 @@ CASES = [
     ("MiniGrid-Unlock-v0", 17, 48),
     ("MiniGrid-KeyCorridorS3R3-v0", 19, 48),
     ("MiniGrid-ObstructedMaze-1Dlhb-v0", 23, 48),
+    ("MiniGrid-DistShift1-v0", 29, 48),
+    ("MiniGrid-SimpleCrossingS9N1-v0", 31, 48),
+    ("MiniGrid-RedBlueDoors-6x6-v0", 37, 48),
+    ("MiniGrid-GoToDoor-5x5-v0", 41, 48),
+    ("MiniGrid-GoToObject-6x6-N2-v0", 43, 48),
+    ("MiniGrid-PutNear-6x6-N2-v0", 47, 48),
+    ("MiniGrid-LockedRoom-v0", 53, 48),
+    ("MiniGrid-UnlockPickup-v0", 59, 48),
+    ("MiniGrid-BlockedUnlockPickup-v0", 61, 48),
+    ("MiniGrid-Playground-v0", 67, 48),
+    ("MiniGrid-ObstructedMaze-Full-v0", 71, 48),
+    ("MiniGrid-MemoryS7-v0", 73, 48),
 ]
 
 
