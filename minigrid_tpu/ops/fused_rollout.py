@@ -1,0 +1,457 @@
+"""Fused multi-step rollout as a single Pallas TPU kernel.
+
+Why: the XLA `vmap`-over-envs path (`core/rollout.py`) keeps each
+environment's state as tiny `(H, W, 5)` uint8 arrays whose minormost dims
+(8×5) occupy a fraction of the TPU's (sublane×lane) = (8×128) vector
+registers — every elementwise op runs nearly empty and every scan step
+round-trips state through HBM. Measured ceiling on one v5e core:
+~2.6 M env-steps/s regardless of batch size.
+
+TPU-native layout instead puts the *batch* in the lane dimension:
+
+  * the whole grid cell `(type, color, state, cont_type, cont_color)` packs
+    into one int32 word (4+4+4+4+4 bits), so the grid is a single
+    `(H·W, B)` int32 array — full 128-lane occupancy on every op;
+  * all per-env scalars (agent x/y/dir, carried object, step count) are
+    rows of an `(8, B)` int32 register file;
+  * the entire `T`-step loop — transition, auto-reset, egocentric view
+    gather, occlusion flood, observation checksum — runs inside ONE
+    `pallas_call`, so the state never leaves VMEM between steps.
+
+Semantics are the base transition kernel (`core/step.py`, mirroring
+`MiniGridEnv.step`, minigrid.py:~1087-1160), the observation pipeline of
+`core/obs.py`/`core/vision.py` (gen_obs, minigrid.py:~1162-1215), and
+template auto-reset (exact for deterministic-layout families such as the
+fixed Empty/DistShift variants — the same layouts the reference regenerates
+identically on every `reset()`).
+
+The occlusion flood (`Grid.process_vis`, minigrid.py:~620-640) is computed
+on 7-bit *bitmasks*: each egocentric view row lives in the low 7 bits of one
+int32 lane-vector, so a whole left-to-right light-propagation pass is six
+`x |= (x & trans) << 1` integer ops across the full batch.
+
+Actions are supplied as a precomputed `(T, B)` array (the random policy is
+sampled with `jax.random` outside the kernel), which keeps the kernel
+deterministic and lets tests replay identical action streams through the
+XLA path for step-for-step equivalence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.rollout import RolloutMetrics, random_policy
+from minigrid_tpu.core.state import EnvConfig, EnvState
+from minigrid_tpu.envs.base import Env
+
+# Register-file row indices (the `(NUM_REGS, B)` int32 scalar block).
+R_X, R_Y, R_DIR, R_CT, R_CC, R_CCT, R_CCC, R_SC = range(8)
+NUM_REGS = 8
+
+_WALL_WORD = C.WALL | (C.GREY << 4)  # OOB view cells read as grey walls
+_EMPTY_WORD = C.EMPTY
+
+
+# --------------------------------------------------------------------------
+# State <-> packed layout
+# --------------------------------------------------------------------------
+
+
+def pack_states(states: EnvState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched `EnvState` -> (`(H·W, B)` grid words, `(NUM_REGS, B)` regs)."""
+    g = states.grid.astype(jnp.int32)  # (B, H, W, 5)
+    words = (
+        g[..., 0]
+        | (g[..., 1] << 4)
+        | (g[..., 2] << 8)
+        | (g[..., 3] << 12)
+        | (g[..., 4] << 16)
+    )
+    b = words.shape[0]
+    words = words.reshape(b, -1).T  # (HW, B)
+    carry = states.carrying.astype(jnp.int32)
+    regs = jnp.stack(
+        [
+            states.agent_pos[:, 0],
+            states.agent_pos[:, 1],
+            states.agent_dir,
+            carry[:, 0],
+            carry[:, 1],
+            carry[:, 2],
+            carry[:, 3],
+            states.step_count,
+        ]
+    )  # (NUM_REGS, B)
+    return words, regs
+
+
+def unpack_states(
+    words: jnp.ndarray, regs: jnp.ndarray, template: EnvState, config: EnvConfig
+) -> EnvState:
+    """Inverse of `pack_states`; rng/mission/aux pass through `template`."""
+    hw, b = words.shape
+    w = words.T.reshape(b, config.height, config.width)
+    grid = jnp.stack(
+        [w & 15, (w >> 4) & 15, (w >> 8) & 15, (w >> 12) & 15, (w >> 16) & 15],
+        axis=-1,
+    ).astype(jnp.uint8)
+    return template.replace(
+        grid=grid,
+        agent_pos=jnp.stack([regs[R_X], regs[R_Y]], axis=-1),
+        agent_dir=regs[R_DIR],
+        carrying=jnp.stack(
+            [regs[R_CT], regs[R_CC], regs[R_CCT], regs[R_CCC]], axis=-1
+        ).astype(jnp.uint8),
+        step_count=regs[R_SC],
+    )
+
+
+# --------------------------------------------------------------------------
+# The kernel
+# --------------------------------------------------------------------------
+
+
+def _rollout_kernel(
+    # inputs
+    words0_ref,
+    regs0_ref,
+    tmpl_words_ref,
+    tmpl_regs_ref,
+    actions_ref,
+    # outputs
+    words_out_ref,
+    regs_out_ref,
+    rsum_ref,
+    counts_ref,
+    # scratch
+    words_s,
+    regs_s,
+    rsum_s,
+    epi_s,
+    csum_s,
+    *,
+    width: int,
+    height: int,
+    view: int,
+    max_steps: int,
+    num_steps: int,
+    see_through_walls: bool,
+):
+    hw = width * height
+    half = view // 2
+    agent_k = (view - 1) * view + half  # agent cell's flat view index
+
+    words_s[:] = words0_ref[:]
+    regs_s[:] = regs0_ref[:]
+    rsum_s[:] = jnp.zeros_like(rsum_s)
+    epi_s[:] = jnp.zeros_like(epi_s)
+    csum_s[:] = jnp.zeros_like(csum_s)
+
+    iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
+    kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
+    rd = (view - 1) - kvec // view  # forward distance per view cell
+    co = kvec % view - half  # lateral offset per view cell
+    pow_i = 1 << (kvec % view)  # row-bit weight per view cell
+
+    def step(t, _):
+        a = actions_ref[pl.ds(t, 1), :]  # (1, Bt) int32
+        x = regs_s[R_X : R_X + 1, :]
+        y = regs_s[R_Y : R_Y + 1, :]
+        d = regs_s[R_DIR : R_DIR + 1, :]
+        ct = regs_s[R_CT : R_CT + 1, :]
+        cc = regs_s[R_CC : R_CC + 1, :]
+        cct = regs_s[R_CCT : R_CCT + 1, :]
+        ccc = regs_s[R_CCC : R_CCC + 1, :]
+        sc = regs_s[R_SC : R_SC + 1, :]
+        words = words_s[:]
+
+        # ---- transition (core/step.py semantics, minigrid.py:~1087-1160) --
+        dirx = (d == 0).astype(jnp.int32) - (d == 2).astype(jnp.int32)
+        diry = (d == 1).astype(jnp.int32) - (d == 3).astype(jnp.int32)
+        fwd_x = x + dirx
+        fwd_y = y + diry
+        fwd_flat = fwd_y * width + fwd_x  # (1, Bt), always in bounds (wall ring)
+        fwd_mask = iota_hw == fwd_flat  # (HW, Bt)
+        fwdw = jnp.sum(words * fwd_mask.astype(jnp.int32), axis=0, keepdims=True)
+        ft = fwdw & 15
+        fc = (fwdw >> 4) & 15
+        fs = (fwdw >> 8) & 15
+        fct = (fwdw >> 12) & 15
+        fcc = (fwdw >> 16) & 15
+
+        is_left = a == 0
+        is_right = a == 1
+        is_fwd = a == 2
+        is_pickup = a == 3
+        is_drop = a == 4
+        is_toggle = a == 5
+
+        d1 = jnp.where(is_right, d + 1, jnp.where(is_left, d + 3, d)) % 4
+
+        can_overlap = (
+            (ft == C.EMPTY)
+            | (ft == C.FLOOR)
+            | (ft == C.GOAL)
+            | (ft == C.LAVA)
+            | ((ft == C.DOOR) & (fs == C.STATE_OPEN))
+        )
+        moves = is_fwd & can_overlap
+        x1 = jnp.where(moves, fwd_x, x)
+        y1 = jnp.where(moves, fwd_y, y)
+
+        sc1 = sc + 1
+        hit_goal = is_fwd & (ft == C.GOAL)
+        hit_lava = is_fwd & (ft == C.LAVA)
+        terminated = hit_goal | hit_lava
+        reward = jnp.where(
+            hit_goal,
+            1.0 - 0.9 * (sc1.astype(jnp.float32) / max_steps),
+            jnp.zeros_like(sc1, dtype=jnp.float32),
+        )
+
+        hands_empty = ct == 0
+        can_pickup = (ft == C.KEY) | (ft == C.BALL) | (ft == C.BOX)
+        do_pickup = is_pickup & can_pickup & hands_empty
+        do_drop = is_drop & (ft == C.EMPTY) & ~hands_empty
+
+        ct1 = jnp.where(do_pickup, ft, jnp.where(do_drop, 0, ct))
+        cc1 = jnp.where(do_pickup, fc, jnp.where(do_drop, 0, cc))
+        cct1 = jnp.where(do_pickup, fct, jnp.where(do_drop, 0, cct))
+        ccc1 = jnp.where(do_pickup, fcc, jnp.where(do_drop, 0, ccc))
+
+        # Door toggle: locked opens iff carrying the matching-color key.
+        has_key = (ct == C.KEY) & (cc == fc)
+        new_door_state = jnp.where(
+            fs == C.STATE_LOCKED,
+            jnp.where(has_key, C.STATE_OPEN, C.STATE_LOCKED),
+            1 - fs,
+        )
+        toggled_door = (fwdw & ~(15 << 8)) | (new_door_state << 8)
+        # Box toggle: replaced by its contents (or an empty cell).
+        toggled_box = jnp.where(fct > 0, fct | (fcc << 4), _EMPTY_WORD)
+
+        dropped = ct | (cc << 4) | (cct << 12) | (ccc << 16)
+        new_fwd = fwdw
+        new_fwd = jnp.where(do_pickup, _EMPTY_WORD, new_fwd)
+        new_fwd = jnp.where(do_drop, dropped, new_fwd)
+        new_fwd = jnp.where(is_toggle & (ft == C.DOOR), toggled_door, new_fwd)
+        new_fwd = jnp.where(is_toggle & (ft == C.BOX), toggled_box, new_fwd)
+        words1 = jnp.where(fwd_mask, new_fwd, words)
+
+        truncated = sc1 >= max_steps
+        done = terminated | truncated
+
+        # ---- template auto-reset (core/autoreset.py semantics) ------------
+        words2 = jnp.where(done, tmpl_words_ref[:], words1)
+        tr = tmpl_regs_ref[:]
+        x2 = jnp.where(done, tr[R_X : R_X + 1, :], x1)
+        y2 = jnp.where(done, tr[R_Y : R_Y + 1, :], y1)
+        d2 = jnp.where(done, tr[R_DIR : R_DIR + 1, :], d1)
+        ct2 = jnp.where(done, tr[R_CT : R_CT + 1, :], ct1)
+        cc2 = jnp.where(done, tr[R_CC : R_CC + 1, :], cc1)
+        cct2 = jnp.where(done, tr[R_CCT : R_CCT + 1, :], cct1)
+        ccc2 = jnp.where(done, tr[R_CCC : R_CCC + 1, :], ccc1)
+        sc2 = jnp.where(done, 0, sc1)
+
+        words_s[:] = words2
+        regs_s[:] = jnp.concatenate(
+            [x2, y2, d2, ct2, cc2, cct2, ccc2, sc2], axis=0
+        )
+
+        # ---- egocentric view gather (core/obs.py affine gather) -----------
+        f0, f1 = (
+            (d2 == 0).astype(jnp.int32) - (d2 == 2).astype(jnp.int32),
+            (d2 == 1).astype(jnp.int32) - (d2 == 3).astype(jnp.int32),
+        )
+        r0, r1 = -f1, f0
+        wx = x2 + f0 * rd + r0 * co  # (V², Bt)
+        wy = y2 + f1 * rd + r1 * co
+        inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
+        wflat = jnp.clip(wy, 0, height - 1) * width + jnp.clip(wx, 0, width - 1)
+
+        def gather_body(cell, vw):
+            w_cell = words_s[pl.ds(cell, 1), :]  # (1, Bt)
+            return vw + w_cell * (wflat == cell).astype(jnp.int32)
+
+        vw = lax.fori_loop(0, hw, gather_body, jnp.zeros_like(wflat))
+        vw = jnp.where(inb, vw, _WALL_WORD)
+        # Carried-object overlay on the agent's own view cell.
+        agent_word = jnp.where(ct2 > 0, ct2 | (cc2 << 4), _EMPTY_WORD)
+        vw = jnp.where(kvec == agent_k, agent_word, vw)
+
+        # ---- occlusion flood on 7-bit row masks (core/vision.py) ----------
+        if see_through_walls:
+            vis49 = jnp.ones_like(vw)
+        else:
+            vt = vw & 15
+            vs = (vw >> 8) & 15
+            trans49 = (
+                ~((vt == C.WALL) | ((vt == C.DOOR) & (vs != C.STATE_OPEN)))
+            ).astype(jnp.int32)
+            trans_bits = trans49 * pow_i  # (V², Bt)
+            trans_rows = [
+                jnp.sum(trans_bits[j * view : (j + 1) * view], axis=0, keepdims=True)
+                for j in range(view)
+            ]
+
+            all_bits = (1 << view) - 1
+            last_clear = all_bits >> 1  # clear bit view-1
+            first_clear = all_bits & ~1  # clear bit 0
+            carry = jnp.zeros_like(x2)
+            vis_rows = [None] * view
+            for j in range(view - 1, -1, -1):
+                seed = carry
+                if j == view - 1:
+                    seed = seed | (1 << half)
+                trow = trans_rows[j]
+                row = seed
+                for _ in range(view - 1):
+                    row = row | ((row & trow) << 1)
+                row = row & all_bits
+                q_l = row & trow & last_clear
+                for _ in range(view - 1):
+                    row = row | ((row & trow) >> 1)
+                q_r = row & trow & first_clear
+                carry = (q_l | (q_l << 1) | q_r | (q_r >> 1)) & all_bits
+                vis_rows[j] = row
+
+            vis49 = (
+                jnp.concatenate(
+                    [
+                        jnp.broadcast_to(vis_rows[j], (view, x2.shape[1]))
+                        for j in range(view)
+                    ],
+                    axis=0,
+                )
+                >> (kvec % view)
+            ) & 1
+
+        # ---- metrics -------------------------------------------------------
+        tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
+        obs_sum = jnp.sum(tcs * vis49, axis=0, keepdims=True)
+
+        rsum_s[:] = rsum_s[:] + reward
+        epi_s[:] = epi_s[:] + done.astype(jnp.int32)
+        csum_s[:] = csum_s[:] + obs_sum
+        return 0
+
+    lax.fori_loop(0, num_steps, step, 0)
+
+    words_out_ref[:] = words_s[:]
+    regs_out_ref[:] = regs_s[:]
+    rsum_ref[:] = rsum_s[:]
+    counts_ref[:] = jnp.concatenate([epi_s[:], csum_s[:]], axis=0)
+
+
+# --------------------------------------------------------------------------
+# Host-side wrapper
+# --------------------------------------------------------------------------
+
+# Families whose generator is layout-deterministic (the generator ignores the
+# key for everything except the stored rng leaf), making template auto-reset
+# exact. Random-layout families fall back to the XLA engine.
+def fused_rollout_supported(env: Env, batch_size: Optional[int] = None) -> bool:
+    cfg = env.config
+    ok = (
+        cfg.family in ("empty", "distshift")
+        and (cfg.family != "empty" or cfg.agent_start_pos is not None)
+        and cfg.width * cfg.height <= 4096
+    )
+    if batch_size is not None:
+        ok = ok and batch_size % 128 == 0
+    return ok
+
+
+def build_fused_rollout(
+    env: Env,
+    num_steps: int,
+    lane_block: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """Returns `rollout(key, states) -> (states, RolloutMetrics)`.
+
+    Drop-in for `core.rollout.build_rollout(env, num_steps)` on supported
+    families: same random policy (uniform actions), same auto-reset
+    semantics, same metrics — ~30-100× faster on TPU.
+    """
+    if not fused_rollout_supported(env):
+        raise ValueError(
+            f"fused rollout does not support {env.env_id!r} "
+            "(random-layout reset); use core.rollout.build_rollout"
+        )
+    cfg = env.config
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    hw = cfg.width * cfg.height
+    kernel = functools.partial(
+        _rollout_kernel,
+        width=cfg.width,
+        height=cfg.height,
+        view=cfg.agent_view_size,
+        max_steps=cfg.max_steps,
+        num_steps=num_steps,
+        see_through_walls=cfg.see_through_walls,
+    )
+    policy = random_policy(cfg.num_actions)
+
+    def rollout(key: jax.Array, states: EnvState):
+        b = states.step_count.shape[0]
+        bt = min(lane_block, b)
+        if b % bt:
+            raise ValueError(f"batch {b} not divisible by lane block {bt}")
+
+        words0, regs0 = pack_states(states)
+        template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
+        tmpl_words, tmpl_regs = pack_states(template)
+
+        keys = jax.random.split(key, num_steps)
+        actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
+        actions = actions.astype(jnp.int32)  # (T, B)
+
+        block = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i))
+        words_f, regs_f, rsum, counts = pl.pallas_call(
+            kernel,
+            grid=(b // bt,),
+            in_specs=[
+                block(hw),
+                block(NUM_REGS),
+                block(hw),
+                block(NUM_REGS),
+                block(num_steps),
+            ],
+            out_specs=[block(hw), block(NUM_REGS), block(1), block(2)],
+            out_shape=[
+                jax.ShapeDtypeStruct((hw, b), jnp.int32),
+                jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
+                jax.ShapeDtypeStruct((1, b), jnp.float32),
+                jax.ShapeDtypeStruct((2, b), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hw, bt), jnp.int32),
+                pltpu.VMEM((NUM_REGS, bt), jnp.int32),
+                pltpu.VMEM((1, bt), jnp.float32),
+                pltpu.VMEM((1, bt), jnp.int32),
+                pltpu.VMEM((1, bt), jnp.int32),
+            ],
+            interpret=interpret,
+        )(words0, regs0, tmpl_words, tmpl_regs, actions)
+
+        metrics = RolloutMetrics(
+            episodes=jnp.sum(counts[0]),
+            total_reward=jnp.sum(rsum[0]),
+            total_steps=jnp.int32(b * num_steps),
+            obs_checksum=jnp.sum(counts[1]),
+        )
+        return unpack_states(words_f, regs_f, template, cfg), metrics
+
+    return rollout
