@@ -13,8 +13,16 @@ independent across the batch.
 Two modes:
   * "regen"  — sample a brand-new layout on every reset (reference
                semantics; generation cost is paid every step in lockstep).
-  * "cached" — reset to the episode's original layout (cheap; exact for
-               deterministic-layout envs like the fixed Empty variants).
+  * "cached" — every reset of an env goes to ONE fixed layout: the one
+               generated from the env's stored rng leaf, whose key is
+               pinned so later resets replay it. Note `generate(key)`
+               stores a fresh *subkey* as `state.rng`, so this fixed
+               layout is keyed by that subkey — for random-layout families
+               it generally differs from the pre-rollout episode's layout
+               (which no array in the state retains once the agent has
+               modified the grid). Deterministic-layout families (fixed
+               Empty, DistShift) are unaffected: every key generates the
+               same layout.
 """
 
 from __future__ import annotations
@@ -60,7 +68,12 @@ def make_autoreset_step(
         if mode == "regen":
             fresh = env.generate(res.state.rng, env.config)
         else:
-            fresh = env.generate(state.rng, env.config)  # same key → same layout
+            # Same key → same layout, and the key is pinned back into the
+            # fresh state so every subsequent reset replays the SAME layout
+            # (without the pin, reset k+1 would generate from the subkey
+            # stored by reset k — i.e. drift into regen behavior).
+            fresh = env.generate(state.rng, env.config)
+            fresh = fresh.replace(rng=state.rng)
         new_state = select_state(done, fresh, res.state)
         obs = env.observe(new_state, env.config)
         return new_state, obs, res.reward, res.terminated, res.truncated

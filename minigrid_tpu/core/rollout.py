@@ -56,14 +56,17 @@ def build_rollout(
     num_steps: int,
     policy: Optional[PolicyFn] = None,
     collect: bool = False,
+    autoreset_mode: str = "regen",
 ):
     """Returns `rollout(key, states) -> (states, metrics[, trajectory])`.
 
     `states` is a batched `EnvState` (from `env.reset_batch`). The returned
-    function is jit-compatible; `num_steps` is static.
+    function is jit-compatible; `num_steps` is static. `autoreset_mode` is
+    forwarded to `make_autoreset_step` ("regen": new layout per episode;
+    "cached": pin each env to its episode-0 layout).
     """
     policy = policy or random_policy(env.num_actions)
-    auto_step = jax.vmap(make_autoreset_step(env), in_axes=(0, 0))
+    auto_step = jax.vmap(make_autoreset_step(env, mode=autoreset_mode), in_axes=(0, 0))
 
     def batched_obs(states):
         obs = jax.vmap(lambda s: env.observe(s, env.config))(states)

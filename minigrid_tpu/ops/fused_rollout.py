@@ -14,26 +14,43 @@ TPU-native layout instead puts the *batch* in the lane dimension:
     `(H·W, B)` int32 array — full 128-lane occupancy on every op;
   * all per-env scalars (agent x/y/dir, carried object, step count) are
     rows of an `(8, B)` int32 register file;
-  * the entire `T`-step loop — transition, auto-reset, egocentric view
-    gather, occlusion flood, observation checksum — runs inside ONE
-    `pallas_call`, so the state never leaves VMEM between steps.
+  * the step loop — transition, auto-reset, egocentric view gather,
+    occlusion flood, observation checksum — runs inside ONE `pallas_call`,
+    so the state never leaves VMEM between steps. The step axis is chunked
+    over a second (sequential) grid dimension, so VMEM usage and compile
+    time are bounded regardless of `num_steps` (state lives in scratch,
+    which persists across grid iterations).
 
 Semantics are the base transition kernel (`core/step.py`, mirroring
 `MiniGridEnv.step`, minigrid.py:~1087-1160), the observation pipeline of
 `core/obs.py`/`core/vision.py` (gen_obs, minigrid.py:~1162-1215), and
-template auto-reset (exact for deterministic-layout families such as the
-fixed Empty/DistShift variants — the same layouts the reference regenerates
-identically on every `reset()`).
+template auto-reset. Two modes, matching `core.autoreset`:
+
+  * mode="regen"  — exact for deterministic-layout families (fixed Empty /
+    DistShift variants): the regenerated layout is identical to the
+    template, and the per-env rng chain is replayed exactly on the host
+    side from the per-env episode count (see `_replay_rng_chain`).
+  * mode="cached" — exact for EVERY family whose transition is the base
+    step kernel: each env resets to its own episode-0 layout, byte-for-byte
+    `core.rollout.build_rollout(..., autoreset_mode="cached")`.
 
 The occlusion flood (`Grid.process_vis`, minigrid.py:~620-640) is computed
-on 7-bit *bitmasks*: each egocentric view row lives in the low 7 bits of one
-int32 lane-vector, so a whole left-to-right light-propagation pass is six
-`x |= (x & trans) << 1` integer ops across the full batch.
+on V-bit *bitmasks*: each egocentric view row lives in the low V bits of one
+int32 lane-vector, so a whole left-to-right light-propagation pass is V-1
+`x |= (x & trans) << 1` integer ops across the full batch. The flood lives
+in `visibility_bitmask` below, unit-tested against `core.vision.process_vis`
+on random view grids (tests/test_fused_rollout.py).
 
 Actions are supplied as a precomputed `(T, B)` array (the random policy is
 sampled with `jax.random` outside the kernel), which keeps the kernel
 deterministic and lets tests replay identical action streams through the
 XLA path for step-for-step equivalence.
+
+Note on reward summation: `total_reward` is accumulated per-env over T
+steps and then summed across the batch, while the XLA path sums across the
+batch per step. Float32 addition order therefore differs — integer metrics
+(`episodes`, `total_steps`, `obs_checksum`) are exact, `total_reward`
+matches to float tolerance only.
 """
 
 from __future__ import annotations
@@ -51,6 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.rollout import RolloutMetrics, random_policy
 from minigrid_tpu.core.state import EnvConfig, EnvState
+from minigrid_tpu.core.step import base_step
 from minigrid_tpu.envs.base import Env
 
 # Register-file row indices (the `(NUM_REGS, B)` int32 scalar block).
@@ -59,6 +77,10 @@ NUM_REGS = 8
 
 _WALL_WORD = C.WALL | (C.GREY << 4)  # OOB view cells read as grey walls
 _EMPTY_WORD = C.EMPTY
+
+# VMEM budget for auto-sizing the lane block (per-core VMEM is ~16 MiB; leave
+# headroom for Mosaic's own buffers and the pipelined input/output blocks).
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------
@@ -97,7 +119,14 @@ def pack_states(states: EnvState) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def unpack_states(
     words: jnp.ndarray, regs: jnp.ndarray, template: EnvState, config: EnvConfig
 ) -> EnvState:
-    """Inverse of `pack_states`; rng/mission/aux pass through `template`."""
+    """Inverse of `pack_states`.
+
+    Only the kernel-evolved leaves (grid / pos / dir / carrying /
+    step_count) are rebuilt from the packed arrays; rng / mission / aux pass
+    through from `template`, which callers should take from the *input*
+    states (not a freshly generated batch) so untouched leaves keep their
+    identity.
+    """
     hw, b = words.shape
     w = words.T.reshape(b, config.height, config.width)
     grid = jnp.stack(
@@ -113,6 +142,55 @@ def unpack_states(
         ).astype(jnp.uint8),
         step_count=regs[R_SC],
     )
+
+
+# --------------------------------------------------------------------------
+# Occlusion flood on per-row bitmasks (testable outside the kernel)
+# --------------------------------------------------------------------------
+
+
+def visibility_bitmask(trans_rows: jnp.ndarray, view: int) -> jnp.ndarray:
+    """`Grid.process_vis` (minigrid.py:~620-640) on V-bit row bitmasks.
+
+    Args:
+      trans_rows: `(V, N)` int32 — bit i of row j is 1 iff view cell (j, i)
+        is transparent (`see_behind`). N is an arbitrary lane dimension
+        (batch); plain jnp ops only, so this runs identically inside the
+        Pallas kernel and under the unit test
+        (tests/test_fused_rollout.py::test_visibility_bitmask_matches_process_vis,
+        which checks it against `core.vision.process_vis` on random grids).
+
+    Returns:
+      `(V, N)` int32 — bit i of row j is 1 iff view cell (j, i) is visible.
+      The agent sits at (row V-1, col V//2) and is always visible.
+
+    Derivation mirrors `core/vision.py`: within one scan pass the lateral
+    propagation is a monotone flood, so each pass is V-1 shift-OR steps; the
+    row-above seeding collapses to shifts of `q = converged & trans`.
+    """
+    half = view // 2
+    all_bits = (1 << view) - 1
+    last_clear = all_bits >> 1  # mask clearing bit view-1
+    first_clear = all_bits & ~1  # mask clearing bit 0
+
+    carry = jnp.zeros_like(trans_rows[0])
+    vis_rows = [None] * view
+    for j in range(view - 1, -1, -1):
+        seed = carry
+        if j == view - 1:
+            seed = seed | (1 << half)
+        trow = trans_rows[j]
+        row = seed
+        for _ in range(view - 1):  # L→R flood (reference's first pass)
+            row = row | ((row & trow) << 1)
+        row = row & all_bits
+        q_l = row & trow & last_clear
+        for _ in range(view - 1):  # R→L flood (reference's second pass)
+            row = row | ((row & trow) >> 1)
+        q_r = row & trow & first_clear
+        carry = (q_l | (q_l << 1) | q_r | (q_r >> 1)) & all_bits
+        vis_rows[j] = row
+    return jnp.stack([vis_rows[j] for j in range(view)], axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -132,7 +210,7 @@ def _rollout_kernel(
     regs_out_ref,
     rsum_ref,
     counts_ref,
-    # scratch
+    # scratch (persists across grid iterations)
     words_s,
     regs_s,
     rsum_s,
@@ -143,18 +221,21 @@ def _rollout_kernel(
     height: int,
     view: int,
     max_steps: int,
-    num_steps: int,
+    step_chunk: int,
     see_through_walls: bool,
 ):
     hw = width * height
     half = view // 2
     agent_k = (view - 1) * view + half  # agent cell's flat view index
 
-    words_s[:] = words0_ref[:]
-    regs_s[:] = regs0_ref[:]
-    rsum_s[:] = jnp.zeros_like(rsum_s)
-    epi_s[:] = jnp.zeros_like(epi_s)
-    csum_s[:] = jnp.zeros_like(csum_s)
+    # First step-chunk for this batch block: load state, zero accumulators.
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        words_s[:] = words0_ref[:]
+        regs_s[:] = regs0_ref[:]
+        rsum_s[:] = jnp.zeros_like(rsum_s)
+        epi_s[:] = jnp.zeros_like(epi_s)
+        csum_s[:] = jnp.zeros_like(csum_s)
 
     iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
     kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
@@ -236,8 +317,9 @@ def _rollout_kernel(
             1 - fs,
         )
         toggled_door = (fwdw & ~(15 << 8)) | (new_door_state << 8)
-        # Box toggle: replaced by its contents (or an empty cell).
-        toggled_box = jnp.where(fct > 0, fct | (fcc << 4), _EMPTY_WORD)
+        # Box toggle: replaced by its contents (or an empty cell); the color
+        # channel carries the contents color either way (core/step.py).
+        toggled_box = jnp.where(fct > 0, fct, _EMPTY_WORD) | (fcc << 4)
 
         dropped = ct | (cc << 4) | (cct << 12) | (ccc << 16)
         new_fwd = fwdw
@@ -288,7 +370,7 @@ def _rollout_kernel(
         agent_word = jnp.where(ct2 > 0, ct2 | (cc2 << 4), _EMPTY_WORD)
         vw = jnp.where(kvec == agent_k, agent_word, vw)
 
-        # ---- occlusion flood on 7-bit row masks (core/vision.py) ----------
+        # ---- occlusion flood on V-bit row masks (core/vision.py) ----------
         if see_through_walls:
             vis49 = jnp.ones_like(vw)
         else:
@@ -298,36 +380,22 @@ def _rollout_kernel(
                 ~((vt == C.WALL) | ((vt == C.DOOR) & (vs != C.STATE_OPEN)))
             ).astype(jnp.int32)
             trans_bits = trans49 * pow_i  # (V², Bt)
-            trans_rows = [
-                jnp.sum(trans_bits[j * view : (j + 1) * view], axis=0, keepdims=True)
-                for j in range(view)
-            ]
-
-            all_bits = (1 << view) - 1
-            last_clear = all_bits >> 1  # clear bit view-1
-            first_clear = all_bits & ~1  # clear bit 0
-            carry = jnp.zeros_like(x2)
-            vis_rows = [None] * view
-            for j in range(view - 1, -1, -1):
-                seed = carry
-                if j == view - 1:
-                    seed = seed | (1 << half)
-                trow = trans_rows[j]
-                row = seed
-                for _ in range(view - 1):
-                    row = row | ((row & trow) << 1)
-                row = row & all_bits
-                q_l = row & trow & last_clear
-                for _ in range(view - 1):
-                    row = row | ((row & trow) >> 1)
-                q_r = row & trow & first_clear
-                carry = (q_l | (q_l << 1) | q_r | (q_r >> 1)) & all_bits
-                vis_rows[j] = row
-
+            trans_rows = jnp.concatenate(
+                [
+                    jnp.sum(
+                        trans_bits[j * view : (j + 1) * view], axis=0, keepdims=True
+                    )
+                    for j in range(view)
+                ],
+                axis=0,
+            )  # (V, Bt)
+            vis_rows = visibility_bitmask(trans_rows, view)  # (V, Bt)
             vis49 = (
                 jnp.concatenate(
                     [
-                        jnp.broadcast_to(vis_rows[j], (view, x2.shape[1]))
+                        jnp.broadcast_to(
+                            vis_rows[j : j + 1, :], (view, vis_rows.shape[1])
+                        )
                         for j in range(view)
                     ],
                     axis=0,
@@ -344,8 +412,11 @@ def _rollout_kernel(
         csum_s[:] = csum_s[:] + obs_sum
         return 0
 
-    lax.fori_loop(0, num_steps, step, 0)
+    lax.fori_loop(0, step_chunk, step, 0)
 
+    # The output blocks live in VMEM for the whole (fixed-i) chunk sweep and
+    # are flushed to HBM when the batch block advances, so unconditional
+    # stores here are cheap; only the last chunk's values survive.
     words_out_ref[:] = words_s[:]
     regs_out_ref[:] = regs_s[:]
     rsum_ref[:] = rsum_s[:]
@@ -356,50 +427,127 @@ def _rollout_kernel(
 # Host-side wrapper
 # --------------------------------------------------------------------------
 
-# Families whose generator is layout-deterministic (the generator ignores the
-# key for everything except the stored rng leaf), making template auto-reset
-# exact. Random-layout families fall back to the XLA engine.
-def fused_rollout_supported(env: Env, batch_size: Optional[int] = None) -> bool:
+# Layout-deterministic families: the generator ignores the key for
+# everything except the stored rng leaf, so template auto-reset reproduces
+# "regen" semantics exactly.
+_DETERMINISTIC_LAYOUT = ("empty", "distshift")
+
+
+def _is_base_step(env: Env) -> bool:
+    return env.transition is base_step
+
+
+def fused_rollout_supported(
+    env: Env, batch_size: Optional[int] = None, mode: str = "regen"
+) -> bool:
+    """True iff `build_fused_rollout(env, mode=mode)` is exact for `env`.
+
+    mode="regen": deterministic-layout families only (Empty fixed variants,
+    DistShift). mode="cached": every family whose transition is the base
+    step kernel (no per-family step override, no stochastic transitions).
+    """
     cfg = env.config
-    ok = (
-        cfg.family in ("empty", "distshift")
-        and (cfg.family != "empty" or cfg.agent_start_pos is not None)
-        and cfg.width * cfg.height <= 4096
-    )
+    if not _is_base_step(env):
+        return False
+    if mode == "regen":
+        ok = cfg.family in _DETERMINISTIC_LAYOUT and (
+            cfg.family != "empty" or cfg.agent_start_pos is not None
+        )
+    elif mode == "cached":
+        ok = True
+    else:
+        return False
+    # VMEM sizing: the auto-derived lane block must be viable (>= 128).
+    ok = ok and _auto_lane_block(cfg.width * cfg.height, 1024) >= 128
     if batch_size is not None:
         ok = ok and batch_size % 128 == 0
     return ok
 
 
+def _auto_lane_block(hw: int, step_chunk: int) -> int:
+    """Largest lane block (multiple of 128) fitting the VMEM budget.
+
+    Resident per lane: grid words ×4 (in, template, out, scratch) + regs ×4
+    + actions chunk + accumulators, all int32.
+    """
+    words_per_lane = 4 * hw + 4 * NUM_REGS + step_chunk + 8
+    max_lanes = _VMEM_BUDGET_BYTES // (4 * words_per_lane)
+    return (max_lanes // 128) * 128
+
+
+def _replay_rng_chain(env: Env, rng0: jnp.ndarray, n_resets: jnp.ndarray):
+    """Apply the regen-mode rng chain `rng <- generate(rng).rng` n times.
+
+    The XLA regen auto-reset path (core/autoreset.py) stores
+    `generate(state.rng).rng` on every reset; replaying that chain from the
+    per-env episode count reproduces the exact final keys. Only the rng leaf
+    of `generate` is consumed, so XLA dead-code-eliminates the layout work.
+    """
+    step_rng = jax.vmap(lambda k: env.generate(k, env.config).rng)
+
+    def cond(carry):
+        return jnp.any(carry[1] > 0)
+
+    def body(carry):
+        rng, rem = carry
+        nxt = step_rng(rng)
+        take = rem > 0
+        rng = jnp.where(take[:, None], nxt, rng)
+        return rng, rem - take.astype(rem.dtype)
+
+    return lax.while_loop(cond, body, (rng0, n_resets))[0]
+
+
 def build_fused_rollout(
     env: Env,
     num_steps: int,
-    lane_block: int = 512,
+    lane_block: Optional[int] = None,
+    step_chunk: int = 128,
+    mode: str = "regen",
     interpret: Optional[bool] = None,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)`.
 
-    Drop-in for `core.rollout.build_rollout(env, num_steps)` on supported
-    families: same random policy (uniform actions), same auto-reset
-    semantics, same metrics — ~30-100× faster on TPU.
+    Drop-in for `core.rollout.build_rollout(env, num_steps)` (mode="regen")
+    or `build_rollout(env, num_steps, autoreset_mode="cached")`
+    (mode="cached") on supported families: same action stream under the
+    same key, same auto-reset semantics, same integer metrics
+    (`total_reward` to float tolerance — see module docstring). Equivalence
+    is asserted by tests/test_fused_rollout.py; measured speedup vs the XLA
+    path is recorded in BENCH_*.json by bench.py.
     """
-    if not fused_rollout_supported(env):
+    if not fused_rollout_supported(env, mode=mode):
         raise ValueError(
-            f"fused rollout does not support {env.env_id!r} "
-            "(random-layout reset); use core.rollout.build_rollout"
+            f"fused rollout (mode={mode!r}) does not support {env.env_id!r}; "
+            "use core.rollout.build_rollout"
         )
     cfg = env.config
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Bound the per-invocation step chunk (second grid dim walks the chunks).
+    tc = min(step_chunk, num_steps)
+    while num_steps % tc:
+        tc -= 1
+    num_chunks = num_steps // tc
+
     hw = cfg.width * cfg.height
+    auto_bt = _auto_lane_block(hw, tc)
+    if lane_block is None:
+        lane_block = min(512, auto_bt)
+    if lane_block > auto_bt:
+        raise ValueError(
+            f"lane_block={lane_block} exceeds the VMEM budget for a "
+            f"{cfg.width}x{cfg.height} grid (max {auto_bt})"
+        )
+
     kernel = functools.partial(
         _rollout_kernel,
         width=cfg.width,
         height=cfg.height,
         view=cfg.agent_view_size,
         max_steps=cfg.max_steps,
-        num_steps=num_steps,
+        step_chunk=tc,
         see_through_walls=cfg.see_through_walls,
     )
     policy = random_policy(cfg.num_actions)
@@ -411,6 +559,9 @@ def build_fused_rollout(
             raise ValueError(f"batch {b} not divisible by lane block {bt}")
 
         words0, regs0 = pack_states(states)
+        # Reset target: each env's own layout, regenerated from its rng leaf
+        # (identical to the live layout for deterministic families; the
+        # episode-0 layout in cached mode).
         template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
         tmpl_words, tmpl_regs = pack_states(template)
 
@@ -418,18 +569,24 @@ def build_fused_rollout(
         actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
         actions = actions.astype(jnp.int32)  # (T, B)
 
-        block = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i))
+        state_block = lambda rows: pl.BlockSpec((rows, bt), lambda i, j: (0, i))
+        action_block = pl.BlockSpec((tc, bt), lambda i, j: (j, i))
         words_f, regs_f, rsum, counts = pl.pallas_call(
             kernel,
-            grid=(b // bt,),
+            grid=(b // bt, num_chunks),
             in_specs=[
-                block(hw),
-                block(NUM_REGS),
-                block(hw),
-                block(NUM_REGS),
-                block(num_steps),
+                state_block(hw),
+                state_block(NUM_REGS),
+                state_block(hw),
+                state_block(NUM_REGS),
+                action_block,
             ],
-            out_specs=[block(hw), block(NUM_REGS), block(1), block(2)],
+            out_specs=[
+                state_block(hw),
+                state_block(NUM_REGS),
+                state_block(1),
+                state_block(2),
+            ],
             out_shape=[
                 jax.ShapeDtypeStruct((hw, b), jnp.int32),
                 jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
@@ -443,15 +600,29 @@ def build_fused_rollout(
                 pltpu.VMEM((1, bt), jnp.int32),
                 pltpu.VMEM((1, bt), jnp.int32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
             interpret=interpret,
         )(words0, regs0, tmpl_words, tmpl_regs, actions)
 
+        episodes_per_env = counts[0]  # (B,) int32
+        if mode == "regen":
+            # Exact rng continuity with the XLA regen path: envs that never
+            # reset keep their original key; envs that reset n times get the
+            # n-fold `generate(rng).rng` chain.
+            final_rng = _replay_rng_chain(env, states.rng, episodes_per_env)
+        else:
+            # Cached mode pins the key (core/autoreset.py): never advances.
+            final_rng = states.rng
+
         metrics = RolloutMetrics(
-            episodes=jnp.sum(counts[0]),
+            episodes=jnp.sum(episodes_per_env),
             total_reward=jnp.sum(rsum[0]),
             total_steps=jnp.int32(b * num_steps),
             obs_checksum=jnp.sum(counts[1]),
         )
-        return unpack_states(words_f, regs_f, template, cfg), metrics
+        final = unpack_states(words_f, regs_f, states, cfg)
+        return final.replace(rng=final_rng), metrics
 
     return rollout
