@@ -1,11 +1,11 @@
-"""Fused multi-step rollout as a single Pallas TPU kernel.
+"""Packed-lane multi-step rollout: one Pallas TPU kernel, plus an XLA twin.
 
-Why: the XLA `vmap`-over-envs path (`core/rollout.py`) keeps each
-environment's state as tiny `(H, W, 5)` uint8 arrays whose minormost dims
-(8×5) occupy a fraction of the TPU's (sublane×lane) = (8×128) vector
-registers — every elementwise op runs nearly empty and every scan step
-round-trips state through HBM. Measured ceiling on one v5e core:
-~2.6 M env-steps/s regardless of batch size.
+Why: the `vmap`-over-envs path (`core/rollout.py`) keeps each environment's
+state as tiny `(H, W, 5)` uint8 arrays whose minormost dims (8×5) occupy a
+fraction of the TPU's (sublane×lane) = (8×128) vector registers — every
+elementwise op runs nearly empty and every scan step round-trips state
+through HBM. Measured ceiling on one v5e core: ~2.6 M env-steps/s
+regardless of batch size.
 
 TPU-native layout instead puts the *batch* in the lane dimension:
 
@@ -13,13 +13,18 @@ TPU-native layout instead puts the *batch* in the lane dimension:
     into one int32 word (4+4+4+4+4 bits), so the grid is a single
     `(H·W, B)` int32 array — full 128-lane occupancy on every op;
   * all per-env scalars (agent x/y/dir, carried object, step count) are
-    rows of an `(8, B)` int32 register file;
-  * the step loop — transition, auto-reset, egocentric view gather,
-    occlusion flood, observation checksum — runs inside ONE `pallas_call`,
-    so the state never leaves VMEM between steps. The step axis is chunked
-    over a second (sequential) grid dimension, so VMEM usage and compile
-    time are bounded regardless of `num_steps` (state lives in scratch,
-    which persists across grid iterations).
+    rows of an `(8, B)` int32 register file.
+
+Two backends share the SAME step math (`_step_core`):
+
+  * `build_fused_rollout` — the whole step loop runs inside ONE
+    `pallas_call`; state never leaves VMEM between steps. The step axis is
+    chunked over a second (sequential) grid dimension, so VMEM usage and
+    compile time are bounded regardless of `num_steps` (state lives in
+    scratch, which persists across grid iterations).
+  * `build_packed_xla_rollout` — the same packed layout under a plain
+    `lax.scan`; XLA schedules each step as fused VPU ops over the (rows, B)
+    arrays. No Mosaic dependency; runs anywhere.
 
 Semantics are the base transition kernel (`core/step.py`, mirroring
 `MiniGridEnv.step`, minigrid.py:~1087-1160), the observation pipeline of
@@ -31,23 +36,23 @@ template auto-reset. Two modes, matching `core.autoreset`:
     template, and the per-env rng chain is replayed exactly on the host
     side from the per-env episode count (see `_replay_rng_chain`).
   * mode="cached" — exact for EVERY family whose transition is the base
-    step kernel: each env resets to its own episode-0 layout, byte-for-byte
+    step kernel (no per-family step override): byte-for-byte
     `core.rollout.build_rollout(..., autoreset_mode="cached")`.
 
 The occlusion flood (`Grid.process_vis`, minigrid.py:~620-640) is computed
 on V-bit *bitmasks*: each egocentric view row lives in the low V bits of one
 int32 lane-vector, so a whole left-to-right light-propagation pass is V-1
 `x |= (x & trans) << 1` integer ops across the full batch. The flood lives
-in `visibility_bitmask` below, unit-tested against `core.vision.process_vis`
+in `visibility_bitmask`, unit-tested against `core.vision.process_vis`
 on random view grids (tests/test_fused_rollout.py).
 
 Actions are supplied as a precomputed `(T, B)` array (the random policy is
 sampled with `jax.random` outside the kernel), which keeps the kernel
 deterministic and lets tests replay identical action streams through the
-XLA path for step-for-step equivalence.
+reference path for step-for-step equivalence.
 
 Note on reward summation: `total_reward` is accumulated per-env over T
-steps and then summed across the batch, while the XLA path sums across the
+steps and then summed across the batch, while the vmap path sums across the
 batch per step. Float32 addition order therefore differs — integer metrics
 (`episodes`, `total_steps`, `obs_checksum`) are exact, `total_reward`
 matches to float tolerance only.
@@ -56,7 +61,7 @@ matches to float tolerance only.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,9 +161,9 @@ def visibility_bitmask(trans_rows: jnp.ndarray, view: int) -> jnp.ndarray:
       trans_rows: `(V, N)` int32 — bit i of row j is 1 iff view cell (j, i)
         is transparent (`see_behind`). N is an arbitrary lane dimension
         (batch); plain jnp ops only, so this runs identically inside the
-        Pallas kernel and under the unit test
-        (tests/test_fused_rollout.py::test_visibility_bitmask_matches_process_vis,
-        which checks it against `core.vision.process_vis` on random grids).
+        Pallas kernel, in the XLA twin, and under the unit test
+        (tests/test_fused_rollout.py, which checks it against
+        `core.vision.process_vis` on random grids).
 
     Returns:
       `(V, N)` int32 — bit i of row j is 1 iff view cell (j, i) is visible.
@@ -194,7 +199,206 @@ def visibility_bitmask(trans_rows: jnp.ndarray, view: int) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
-# The kernel
+# Shared step math (backend-independent)
+# --------------------------------------------------------------------------
+
+# gather(words, wflat) -> (V², B) words at per-lane flat indices `wflat`.
+GatherFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _step_core(
+    words: jnp.ndarray,  # (HW, B) int32
+    regs: jnp.ndarray,  # (NUM_REGS, B) int32
+    a: jnp.ndarray,  # (1, B) int32
+    tmpl_words: jnp.ndarray,
+    tmpl_regs: jnp.ndarray,
+    gather: GatherFn,
+    *,
+    width: int,
+    height: int,
+    view: int,
+    max_steps: int,
+    see_through_walls: bool,
+):
+    """One packed transition + auto-reset + obs checksum.
+
+    Returns `(words2, regs2, reward(1,B) f32, done(1,B) bool, obs_sum(1,B))`.
+    Pure jnp on (rows, B) arrays — runs identically inside the Pallas kernel
+    (values loaded from VMEM refs) and in the XLA scan body.
+    """
+    hw = width * height
+    half = view // 2
+    agent_k = (view - 1) * view + half  # agent cell's flat view index
+
+    iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
+    kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
+    rd = (view - 1) - kvec // view  # forward distance per view cell
+    co = kvec % view - half  # lateral offset per view cell
+    pow_i = 1 << (kvec % view)  # row-bit weight per view cell
+
+    x = regs[R_X : R_X + 1, :]
+    y = regs[R_Y : R_Y + 1, :]
+    d = regs[R_DIR : R_DIR + 1, :]
+    ct = regs[R_CT : R_CT + 1, :]
+    cc = regs[R_CC : R_CC + 1, :]
+    cct = regs[R_CCT : R_CCT + 1, :]
+    ccc = regs[R_CCC : R_CCC + 1, :]
+    sc = regs[R_SC : R_SC + 1, :]
+
+    # ---- transition (core/step.py semantics, minigrid.py:~1087-1160) ------
+    dirx = (d == 0).astype(jnp.int32) - (d == 2).astype(jnp.int32)
+    diry = (d == 1).astype(jnp.int32) - (d == 3).astype(jnp.int32)
+    fwd_x = x + dirx
+    fwd_y = y + diry
+    fwd_flat = fwd_y * width + fwd_x  # (1, B), always in bounds (wall ring)
+    fwd_mask = iota_hw == fwd_flat  # (HW, B)
+    fwdw = jnp.sum(words * fwd_mask.astype(jnp.int32), axis=0, keepdims=True)
+    ft = fwdw & 15
+    fc = (fwdw >> 4) & 15
+    fs = (fwdw >> 8) & 15
+    fct = (fwdw >> 12) & 15
+    fcc = (fwdw >> 16) & 15
+
+    is_left = a == 0
+    is_right = a == 1
+    is_fwd = a == 2
+    is_pickup = a == 3
+    is_drop = a == 4
+    is_toggle = a == 5
+
+    d1 = jnp.where(is_right, d + 1, jnp.where(is_left, d + 3, d)) % 4
+
+    can_overlap = (
+        (ft == C.EMPTY)
+        | (ft == C.FLOOR)
+        | (ft == C.GOAL)
+        | (ft == C.LAVA)
+        | ((ft == C.DOOR) & (fs == C.STATE_OPEN))
+    )
+    moves = is_fwd & can_overlap
+    x1 = jnp.where(moves, fwd_x, x)
+    y1 = jnp.where(moves, fwd_y, y)
+
+    sc1 = sc + 1
+    hit_goal = is_fwd & (ft == C.GOAL)
+    hit_lava = is_fwd & (ft == C.LAVA)
+    terminated = hit_goal | hit_lava
+    reward = jnp.where(
+        hit_goal,
+        1.0 - 0.9 * (sc1.astype(jnp.float32) / max_steps),
+        jnp.zeros_like(sc1, dtype=jnp.float32),
+    )
+
+    hands_empty = ct == 0
+    can_pickup = (ft == C.KEY) | (ft == C.BALL) | (ft == C.BOX)
+    do_pickup = is_pickup & can_pickup & hands_empty
+    do_drop = is_drop & (ft == C.EMPTY) & ~hands_empty
+
+    ct1 = jnp.where(do_pickup, ft, jnp.where(do_drop, 0, ct))
+    cc1 = jnp.where(do_pickup, fc, jnp.where(do_drop, 0, cc))
+    cct1 = jnp.where(do_pickup, fct, jnp.where(do_drop, 0, cct))
+    ccc1 = jnp.where(do_pickup, fcc, jnp.where(do_drop, 0, ccc))
+
+    # Door toggle: locked opens iff carrying the matching-color key.
+    has_key = (ct == C.KEY) & (cc == fc)
+    new_door_state = jnp.where(
+        fs == C.STATE_LOCKED,
+        jnp.where(has_key, C.STATE_OPEN, C.STATE_LOCKED),
+        1 - fs,
+    )
+    toggled_door = (fwdw & ~(15 << 8)) | (new_door_state << 8)
+    # Box toggle: replaced by its contents (or an empty cell); the color
+    # channel carries the contents color either way (core/step.py).
+    toggled_box = jnp.where(fct > 0, fct, _EMPTY_WORD) | (fcc << 4)
+
+    dropped = ct | (cc << 4) | (cct << 12) | (ccc << 16)
+    new_fwd = fwdw
+    new_fwd = jnp.where(do_pickup, _EMPTY_WORD, new_fwd)
+    new_fwd = jnp.where(do_drop, dropped, new_fwd)
+    new_fwd = jnp.where(is_toggle & (ft == C.DOOR), toggled_door, new_fwd)
+    new_fwd = jnp.where(is_toggle & (ft == C.BOX), toggled_box, new_fwd)
+    words1 = jnp.where(fwd_mask, new_fwd, words)
+
+    truncated = sc1 >= max_steps
+    done = terminated | truncated
+
+    # ---- template auto-reset (core/autoreset.py semantics) ----------------
+    words2 = jnp.where(done, tmpl_words, words1)
+    x2 = jnp.where(done, tmpl_regs[R_X : R_X + 1, :], x1)
+    y2 = jnp.where(done, tmpl_regs[R_Y : R_Y + 1, :], y1)
+    d2 = jnp.where(done, tmpl_regs[R_DIR : R_DIR + 1, :], d1)
+    ct2 = jnp.where(done, tmpl_regs[R_CT : R_CT + 1, :], ct1)
+    cc2 = jnp.where(done, tmpl_regs[R_CC : R_CC + 1, :], cc1)
+    cct2 = jnp.where(done, tmpl_regs[R_CCT : R_CCT + 1, :], cct1)
+    ccc2 = jnp.where(done, tmpl_regs[R_CCC : R_CCC + 1, :], ccc1)
+    sc2 = jnp.where(done, 0, sc1)
+    regs2 = jnp.concatenate([x2, y2, d2, ct2, cc2, cct2, ccc2, sc2], axis=0)
+
+    # ---- egocentric view gather (core/obs.py affine gather) ---------------
+    f0 = (d2 == 0).astype(jnp.int32) - (d2 == 2).astype(jnp.int32)
+    f1 = (d2 == 1).astype(jnp.int32) - (d2 == 3).astype(jnp.int32)
+    r0, r1 = -f1, f0
+    wx = x2 + f0 * rd + r0 * co  # (V², B)
+    wy = y2 + f1 * rd + r1 * co
+    inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
+    wflat = jnp.clip(wy, 0, height - 1) * width + jnp.clip(wx, 0, width - 1)
+
+    vw = gather(words2, wflat)
+    vw = jnp.where(inb, vw, _WALL_WORD)
+    # Carried-object overlay on the agent's own view cell.
+    agent_word = jnp.where(ct2 > 0, ct2 | (cc2 << 4), _EMPTY_WORD)
+    vw = jnp.where(kvec == agent_k, agent_word, vw)
+
+    # ---- occlusion flood on V-bit row masks (core/vision.py) --------------
+    if see_through_walls:
+        vis = jnp.ones_like(vw)
+    else:
+        vt = vw & 15
+        vs = (vw >> 8) & 15
+        trans = (
+            ~((vt == C.WALL) | ((vt == C.DOOR) & (vs != C.STATE_OPEN)))
+        ).astype(jnp.int32)
+        trans_bits = trans * pow_i  # (V², B)
+        trans_rows = jnp.concatenate(
+            [
+                jnp.sum(trans_bits[j * view : (j + 1) * view], axis=0, keepdims=True)
+                for j in range(view)
+            ],
+            axis=0,
+        )  # (V, B)
+        vis_rows = visibility_bitmask(trans_rows, view)  # (V, B)
+        vis = (
+            jnp.concatenate(
+                [
+                    jnp.broadcast_to(vis_rows[j : j + 1, :], (view, vis_rows.shape[1]))
+                    for j in range(view)
+                ],
+                axis=0,
+            )
+            >> (kvec % view)
+        ) & 1
+
+    # ---- obs checksum (type+color+state over visible cells) ---------------
+    tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
+    obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
+
+    return words2, regs2, reward, done, obs_sum
+
+
+def _masked_sum_gather(words: jnp.ndarray, wflat: jnp.ndarray) -> jnp.ndarray:
+    """Gather by looping grid cells with a masked sum — no dynamic indexing,
+    guaranteed to vectorize on the VPU (hw fused multiply-adds over (V², B))."""
+    hw = words.shape[0]
+
+    def body(cell, vw):
+        w_cell = lax.dynamic_slice_in_dim(words, cell, 1, axis=0)  # (1, B)
+        return vw + w_cell * (wflat == cell).astype(jnp.int32)
+
+    return lax.fori_loop(0, hw, body, jnp.zeros_like(wflat))
+
+
+# --------------------------------------------------------------------------
+# The Pallas kernel
 # --------------------------------------------------------------------------
 
 
@@ -224,10 +428,6 @@ def _rollout_kernel(
     step_chunk: int,
     see_through_walls: bool,
 ):
-    hw = width * height
-    half = view // 2
-    agent_k = (view - 1) * view + half  # agent cell's flat view index
-
     # First step-chunk for this batch block: load state, zero accumulators.
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -237,176 +437,26 @@ def _rollout_kernel(
         epi_s[:] = jnp.zeros_like(epi_s)
         csum_s[:] = jnp.zeros_like(csum_s)
 
-    iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
-    kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
-    rd = (view - 1) - kvec // view  # forward distance per view cell
-    co = kvec % view - half  # lateral offset per view cell
-    pow_i = 1 << (kvec % view)  # row-bit weight per view cell
+    tmpl_words = tmpl_words_ref[:]
+    tmpl_regs = tmpl_regs_ref[:]
 
     def step(t, _):
         a = actions_ref[pl.ds(t, 1), :]  # (1, Bt) int32
-        x = regs_s[R_X : R_X + 1, :]
-        y = regs_s[R_Y : R_Y + 1, :]
-        d = regs_s[R_DIR : R_DIR + 1, :]
-        ct = regs_s[R_CT : R_CT + 1, :]
-        cc = regs_s[R_CC : R_CC + 1, :]
-        cct = regs_s[R_CCT : R_CCT + 1, :]
-        ccc = regs_s[R_CCC : R_CCC + 1, :]
-        sc = regs_s[R_SC : R_SC + 1, :]
-        words = words_s[:]
-
-        # ---- transition (core/step.py semantics, minigrid.py:~1087-1160) --
-        dirx = (d == 0).astype(jnp.int32) - (d == 2).astype(jnp.int32)
-        diry = (d == 1).astype(jnp.int32) - (d == 3).astype(jnp.int32)
-        fwd_x = x + dirx
-        fwd_y = y + diry
-        fwd_flat = fwd_y * width + fwd_x  # (1, Bt), always in bounds (wall ring)
-        fwd_mask = iota_hw == fwd_flat  # (HW, Bt)
-        fwdw = jnp.sum(words * fwd_mask.astype(jnp.int32), axis=0, keepdims=True)
-        ft = fwdw & 15
-        fc = (fwdw >> 4) & 15
-        fs = (fwdw >> 8) & 15
-        fct = (fwdw >> 12) & 15
-        fcc = (fwdw >> 16) & 15
-
-        is_left = a == 0
-        is_right = a == 1
-        is_fwd = a == 2
-        is_pickup = a == 3
-        is_drop = a == 4
-        is_toggle = a == 5
-
-        d1 = jnp.where(is_right, d + 1, jnp.where(is_left, d + 3, d)) % 4
-
-        can_overlap = (
-            (ft == C.EMPTY)
-            | (ft == C.FLOOR)
-            | (ft == C.GOAL)
-            | (ft == C.LAVA)
-            | ((ft == C.DOOR) & (fs == C.STATE_OPEN))
+        words2, regs2, reward, done, obs_sum = _step_core(
+            words_s[:],
+            regs_s[:],
+            a,
+            tmpl_words,
+            tmpl_regs,
+            _masked_sum_gather,
+            width=width,
+            height=height,
+            view=view,
+            max_steps=max_steps,
+            see_through_walls=see_through_walls,
         )
-        moves = is_fwd & can_overlap
-        x1 = jnp.where(moves, fwd_x, x)
-        y1 = jnp.where(moves, fwd_y, y)
-
-        sc1 = sc + 1
-        hit_goal = is_fwd & (ft == C.GOAL)
-        hit_lava = is_fwd & (ft == C.LAVA)
-        terminated = hit_goal | hit_lava
-        reward = jnp.where(
-            hit_goal,
-            1.0 - 0.9 * (sc1.astype(jnp.float32) / max_steps),
-            jnp.zeros_like(sc1, dtype=jnp.float32),
-        )
-
-        hands_empty = ct == 0
-        can_pickup = (ft == C.KEY) | (ft == C.BALL) | (ft == C.BOX)
-        do_pickup = is_pickup & can_pickup & hands_empty
-        do_drop = is_drop & (ft == C.EMPTY) & ~hands_empty
-
-        ct1 = jnp.where(do_pickup, ft, jnp.where(do_drop, 0, ct))
-        cc1 = jnp.where(do_pickup, fc, jnp.where(do_drop, 0, cc))
-        cct1 = jnp.where(do_pickup, fct, jnp.where(do_drop, 0, cct))
-        ccc1 = jnp.where(do_pickup, fcc, jnp.where(do_drop, 0, ccc))
-
-        # Door toggle: locked opens iff carrying the matching-color key.
-        has_key = (ct == C.KEY) & (cc == fc)
-        new_door_state = jnp.where(
-            fs == C.STATE_LOCKED,
-            jnp.where(has_key, C.STATE_OPEN, C.STATE_LOCKED),
-            1 - fs,
-        )
-        toggled_door = (fwdw & ~(15 << 8)) | (new_door_state << 8)
-        # Box toggle: replaced by its contents (or an empty cell); the color
-        # channel carries the contents color either way (core/step.py).
-        toggled_box = jnp.where(fct > 0, fct, _EMPTY_WORD) | (fcc << 4)
-
-        dropped = ct | (cc << 4) | (cct << 12) | (ccc << 16)
-        new_fwd = fwdw
-        new_fwd = jnp.where(do_pickup, _EMPTY_WORD, new_fwd)
-        new_fwd = jnp.where(do_drop, dropped, new_fwd)
-        new_fwd = jnp.where(is_toggle & (ft == C.DOOR), toggled_door, new_fwd)
-        new_fwd = jnp.where(is_toggle & (ft == C.BOX), toggled_box, new_fwd)
-        words1 = jnp.where(fwd_mask, new_fwd, words)
-
-        truncated = sc1 >= max_steps
-        done = terminated | truncated
-
-        # ---- template auto-reset (core/autoreset.py semantics) ------------
-        words2 = jnp.where(done, tmpl_words_ref[:], words1)
-        tr = tmpl_regs_ref[:]
-        x2 = jnp.where(done, tr[R_X : R_X + 1, :], x1)
-        y2 = jnp.where(done, tr[R_Y : R_Y + 1, :], y1)
-        d2 = jnp.where(done, tr[R_DIR : R_DIR + 1, :], d1)
-        ct2 = jnp.where(done, tr[R_CT : R_CT + 1, :], ct1)
-        cc2 = jnp.where(done, tr[R_CC : R_CC + 1, :], cc1)
-        cct2 = jnp.where(done, tr[R_CCT : R_CCT + 1, :], cct1)
-        ccc2 = jnp.where(done, tr[R_CCC : R_CCC + 1, :], ccc1)
-        sc2 = jnp.where(done, 0, sc1)
-
         words_s[:] = words2
-        regs_s[:] = jnp.concatenate(
-            [x2, y2, d2, ct2, cc2, cct2, ccc2, sc2], axis=0
-        )
-
-        # ---- egocentric view gather (core/obs.py affine gather) -----------
-        f0, f1 = (
-            (d2 == 0).astype(jnp.int32) - (d2 == 2).astype(jnp.int32),
-            (d2 == 1).astype(jnp.int32) - (d2 == 3).astype(jnp.int32),
-        )
-        r0, r1 = -f1, f0
-        wx = x2 + f0 * rd + r0 * co  # (V², Bt)
-        wy = y2 + f1 * rd + r1 * co
-        inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
-        wflat = jnp.clip(wy, 0, height - 1) * width + jnp.clip(wx, 0, width - 1)
-
-        def gather_body(cell, vw):
-            w_cell = words_s[pl.ds(cell, 1), :]  # (1, Bt)
-            return vw + w_cell * (wflat == cell).astype(jnp.int32)
-
-        vw = lax.fori_loop(0, hw, gather_body, jnp.zeros_like(wflat))
-        vw = jnp.where(inb, vw, _WALL_WORD)
-        # Carried-object overlay on the agent's own view cell.
-        agent_word = jnp.where(ct2 > 0, ct2 | (cc2 << 4), _EMPTY_WORD)
-        vw = jnp.where(kvec == agent_k, agent_word, vw)
-
-        # ---- occlusion flood on V-bit row masks (core/vision.py) ----------
-        if see_through_walls:
-            vis49 = jnp.ones_like(vw)
-        else:
-            vt = vw & 15
-            vs = (vw >> 8) & 15
-            trans49 = (
-                ~((vt == C.WALL) | ((vt == C.DOOR) & (vs != C.STATE_OPEN)))
-            ).astype(jnp.int32)
-            trans_bits = trans49 * pow_i  # (V², Bt)
-            trans_rows = jnp.concatenate(
-                [
-                    jnp.sum(
-                        trans_bits[j * view : (j + 1) * view], axis=0, keepdims=True
-                    )
-                    for j in range(view)
-                ],
-                axis=0,
-            )  # (V, Bt)
-            vis_rows = visibility_bitmask(trans_rows, view)  # (V, Bt)
-            vis49 = (
-                jnp.concatenate(
-                    [
-                        jnp.broadcast_to(
-                            vis_rows[j : j + 1, :], (view, vis_rows.shape[1])
-                        )
-                        for j in range(view)
-                    ],
-                    axis=0,
-                )
-                >> (kvec % view)
-            ) & 1
-
-        # ---- metrics -------------------------------------------------------
-        tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
-        obs_sum = jnp.sum(tcs * vis49, axis=0, keepdims=True)
-
+        regs_s[:] = regs2
         rsum_s[:] = rsum_s[:] + reward
         epi_s[:] = epi_s[:] + done.astype(jnp.int32)
         csum_s[:] = csum_s[:] + obs_sum
@@ -424,7 +474,7 @@ def _rollout_kernel(
 
 
 # --------------------------------------------------------------------------
-# Host-side wrapper
+# Host-side wrappers
 # --------------------------------------------------------------------------
 
 # Layout-deterministic families: the generator ignores the key for
@@ -440,7 +490,8 @@ def _is_base_step(env: Env) -> bool:
 def fused_rollout_supported(
     env: Env, batch_size: Optional[int] = None, mode: str = "regen"
 ) -> bool:
-    """True iff `build_fused_rollout(env, mode=mode)` is exact for `env`.
+    """True iff the packed rollouts (`build_fused_rollout` /
+    `build_packed_xla_rollout`) are exact for `env` under `mode`.
 
     mode="regen": deterministic-layout families only (Empty fixed variants,
     DistShift). mode="cached": every family whose transition is the base
@@ -498,6 +549,54 @@ def _replay_rng_chain(env: Env, rng0: jnp.ndarray, n_resets: jnp.ndarray):
     return lax.while_loop(cond, body, (rng0, n_resets))[0]
 
 
+def _prepare(env: Env, num_steps: int, mode: str, key, states: EnvState):
+    """Shared host-side setup: packed state, reset template, action stream."""
+    cfg = env.config
+    words0, regs0 = pack_states(states)
+    # Reset target: each env's own layout, regenerated from its rng leaf
+    # (identical to the live layout for deterministic families; the pinned
+    # layout in cached mode).
+    template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
+    tmpl_words, tmpl_regs = pack_states(template)
+
+    policy = random_policy(cfg.num_actions)
+    keys = jax.random.split(key, num_steps)
+    actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
+    return words0, regs0, tmpl_words, tmpl_regs, actions.astype(jnp.int32)
+
+
+def _finish(
+    env: Env,
+    mode: str,
+    states: EnvState,
+    num_steps: int,
+    words_f,
+    regs_f,
+    rsum,  # (B,) f32
+    episodes_per_env,  # (B,) i32
+    csum_per_env,  # (B,) i32
+):
+    """Shared host-side teardown: metrics, rng continuity, state unpack."""
+    b = episodes_per_env.shape[0]
+    if mode == "regen":
+        # Exact rng continuity with the regen path: envs that never reset
+        # keep their original key; envs that reset n times get the n-fold
+        # `generate(rng).rng` chain.
+        final_rng = _replay_rng_chain(env, states.rng, episodes_per_env)
+    else:
+        # Cached mode pins the key (core/autoreset.py): never advances.
+        final_rng = states.rng
+
+    metrics = RolloutMetrics(
+        episodes=jnp.sum(episodes_per_env),
+        total_reward=jnp.sum(rsum),
+        total_steps=jnp.int32(b * num_steps),
+        obs_checksum=jnp.sum(csum_per_env),
+    )
+    final = unpack_states(words_f, regs_f, states, env.config)
+    return final.replace(rng=final_rng), metrics
+
+
 def build_fused_rollout(
     env: Env,
     num_steps: int,
@@ -506,19 +605,20 @@ def build_fused_rollout(
     mode: str = "regen",
     interpret: Optional[bool] = None,
 ):
-    """Returns `rollout(key, states) -> (states, RolloutMetrics)`.
+    """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
+    single-pallas_call backend.
 
     Drop-in for `core.rollout.build_rollout(env, num_steps)` (mode="regen")
     or `build_rollout(env, num_steps, autoreset_mode="cached")`
     (mode="cached") on supported families: same action stream under the
     same key, same auto-reset semantics, same integer metrics
     (`total_reward` to float tolerance — see module docstring). Equivalence
-    is asserted by tests/test_fused_rollout.py; measured speedup vs the XLA
-    path is recorded in BENCH_*.json by bench.py.
+    is asserted by tests/test_fused_rollout.py; measured speedup vs the
+    vmap path is recorded in BENCH_*.json by bench.py.
     """
     if not fused_rollout_supported(env, mode=mode):
         raise ValueError(
-            f"fused rollout (mode={mode!r}) does not support {env.env_id!r}; "
+            f"packed rollout (mode={mode!r}) does not support {env.env_id!r}; "
             "use core.rollout.build_rollout"
         )
     cfg = env.config
@@ -550,7 +650,6 @@ def build_fused_rollout(
         step_chunk=tc,
         see_through_walls=cfg.see_through_walls,
     )
-    policy = random_policy(cfg.num_actions)
 
     def rollout(key: jax.Array, states: EnvState):
         b = states.step_count.shape[0]
@@ -558,16 +657,9 @@ def build_fused_rollout(
         if b % bt:
             raise ValueError(f"batch {b} not divisible by lane block {bt}")
 
-        words0, regs0 = pack_states(states)
-        # Reset target: each env's own layout, regenerated from its rng leaf
-        # (identical to the live layout for deterministic families; the
-        # episode-0 layout in cached mode).
-        template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
-        tmpl_words, tmpl_regs = pack_states(template)
-
-        keys = jax.random.split(key, num_steps)
-        actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
-        actions = actions.astype(jnp.int32)  # (T, B)
+        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
+            env, num_steps, mode, key, states
+        )
 
         state_block = lambda rows: pl.BlockSpec((rows, bt), lambda i, j: (0, i))
         action_block = pl.BlockSpec((tc, bt), lambda i, j: (j, i))
@@ -606,23 +698,72 @@ def build_fused_rollout(
             interpret=interpret,
         )(words0, regs0, tmpl_words, tmpl_regs, actions)
 
-        episodes_per_env = counts[0]  # (B,) int32
-        if mode == "regen":
-            # Exact rng continuity with the XLA regen path: envs that never
-            # reset keep their original key; envs that reset n times get the
-            # n-fold `generate(rng).rng` chain.
-            final_rng = _replay_rng_chain(env, states.rng, episodes_per_env)
-        else:
-            # Cached mode pins the key (core/autoreset.py): never advances.
-            final_rng = states.rng
-
-        metrics = RolloutMetrics(
-            episodes=jnp.sum(episodes_per_env),
-            total_reward=jnp.sum(rsum[0]),
-            total_steps=jnp.int32(b * num_steps),
-            obs_checksum=jnp.sum(counts[1]),
+        return _finish(
+            env, mode, states, num_steps, words_f, regs_f,
+            rsum[0], counts[0], counts[1],
         )
-        final = unpack_states(words_f, regs_f, states, cfg)
-        return final.replace(rng=final_rng), metrics
+
+    return rollout
+
+
+def build_packed_xla_rollout(
+    env: Env,
+    num_steps: int,
+    mode: str = "regen",
+):
+    """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
+    packed-lane layout under a plain `lax.scan` (no Pallas).
+
+    Identical semantics and metrics to `build_fused_rollout` (they share
+    `_step_core`); XLA schedules each step as fused full-lane VPU ops over
+    the `(H·W, B)` / `(NUM_REGS, B)` arrays, with one HBM round-trip per
+    step instead of the kernel's VMEM residency. Use as the portable
+    fast path and as a second reference for kernel equivalence tests.
+    """
+    if not fused_rollout_supported(env, mode=mode):
+        raise ValueError(
+            f"packed rollout (mode={mode!r}) does not support {env.env_id!r}; "
+            "use core.rollout.build_rollout"
+        )
+    cfg = env.config
+
+    step_math = functools.partial(
+        _step_core,
+        gather=_masked_sum_gather,
+        width=cfg.width,
+        height=cfg.height,
+        view=cfg.agent_view_size,
+        max_steps=cfg.max_steps,
+        see_through_walls=cfg.see_through_walls,
+    )
+
+    def rollout(key: jax.Array, states: EnvState):
+        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
+            env, num_steps, mode, key, states
+        )
+        b = words0.shape[1]
+        zeros_f = jnp.zeros((1, b), jnp.float32)
+        zeros_i = jnp.zeros((1, b), jnp.int32)
+
+        def body(carry, a_t):
+            words, regs, rsum, epi, csum = carry
+            words2, regs2, reward, done, obs_sum = step_math(
+                words, regs, a_t[None, :], tmpl_words, tmpl_regs
+            )
+            return (
+                words2,
+                regs2,
+                rsum + reward,
+                epi + done.astype(jnp.int32),
+                csum + obs_sum,
+            ), None
+
+        (words_f, regs_f, rsum, epi, csum), _ = lax.scan(
+            body, (words0, regs0, zeros_f, zeros_i, zeros_i), actions
+        )
+        return _finish(
+            env, mode, states, num_steps, words_f, regs_f,
+            rsum[0], epi[0], csum[0],
+        )
 
     return rollout

@@ -20,6 +20,7 @@ from minigrid_tpu.core.vision import process_vis
 from minigrid_tpu.ops.fused_rollout import (
     _auto_lane_block,
     build_fused_rollout,
+    build_packed_xla_rollout,
     fused_rollout_supported,
     pack_states,
     visibility_bitmask,
@@ -28,7 +29,7 @@ from minigrid_tpu.ops.fused_rollout import (
 B = 128  # lane-block minimum
 
 
-def _run_both(env_id, num_steps, mode, step_chunk=32, seed=0):
+def _run_both(env_id, num_steps, mode, step_chunk=32, seed=0, backend="pallas"):
     env = minigrid_tpu.make(env_id)
     assert fused_rollout_supported(env, B, mode=mode), env_id
     key = jax.random.PRNGKey(seed)
@@ -36,11 +37,14 @@ def _run_both(env_id, num_steps, mode, step_chunk=32, seed=0):
     states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
 
     xla = jax.jit(build_rollout(env, num_steps, autoreset_mode=mode))
-    fused = jax.jit(
-        build_fused_rollout(
-            env, num_steps, mode=mode, step_chunk=step_chunk, interpret=True
+    if backend == "pallas":
+        fused = jax.jit(
+            build_fused_rollout(
+                env, num_steps, mode=mode, step_chunk=step_chunk, interpret=True
+            )
         )
-    )
+    else:
+        fused = jax.jit(build_packed_xla_rollout(env, num_steps, mode=mode))
     sx, mx = xla(key, states)
     sf, mf = fused(key, states)
     return sx, mx, sf, mf
@@ -164,6 +168,30 @@ class TestFusedEquivalenceCached:
     def test_fourrooms(self):
         _assert_equivalent(
             *_run_both("MiniGrid-FourRooms-v0", 32, "cached", step_chunk=16)
+        )
+
+
+class TestPackedXlaEquivalence:
+    """The no-Pallas twin (`build_packed_xla_rollout`) — same `_step_core`,
+    plain `lax.scan` — against the vmap reference path."""
+
+    def test_empty_5x5_regen_with_resets(self):
+        sx, mx, sf, mf = _run_both(
+            "MiniGrid-Empty-5x5-v0", 128, "regen", backend="xla"
+        )
+        assert int(mx.episodes) >= B
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_distshift1_regen(self):
+        sx, mx, sf, mf = _run_both(
+            "MiniGrid-DistShift1-v0", 64, "regen", backend="xla"
+        )
+        assert int(mx.episodes) > 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_doorkey_cached(self):
+        _assert_equivalent(
+            *_run_both("MiniGrid-DoorKey-5x5-v0", 64, "cached", backend="xla")
         )
 
 
