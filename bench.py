@@ -1,10 +1,20 @@
 """Benchmark: batched env-steps/s on MiniGrid-Empty-8x8-v0.
 
-Measures the full production path — vmap'd auto-resetting step including the
-egocentric observation encode, rolled out with `lax.scan` on device — and
-prints one JSON line:
+Measures the full production path — auto-resetting step including the
+egocentric observation encode, rolled out on device — and prints one JSON
+line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Three engine paths (--path):
+  * vmap   — `core.rollout.build_rollout`: vmap-over-envs PyTree layout.
+  * packed — `ops.fused_rollout.build_packed_xla_rollout`: batch-in-lanes
+             packed layout under lax.scan (the default where supported).
+  * pallas — `ops.fused_rollout.build_fused_rollout`: the single-kernel
+             Pallas backend (state resident in VMEM across steps).
+All three are step-for-step equivalent under the same key
+(tests/test_fused_rollout.py); `auto` picks packed where the env supports
+it and falls back to vmap.
 
 `vs_baseline`: the reference publishes no numbers (BASELINE.md); the
 comparison point is 3,000 env-steps/s, the top of the externally reported
@@ -23,13 +33,35 @@ import jax.numpy as jnp
 
 import minigrid_tpu
 from minigrid_tpu.core.rollout import build_rollout
+from minigrid_tpu.ops.fused_rollout import (
+    build_fused_rollout,
+    build_packed_xla_rollout,
+    fused_rollout_supported,
+)
 
 REFERENCE_STEPS_PER_SEC = 3_000.0  # pure-Python MiniGrid, 1 CPU core (external)
 
 
-def run(env_id: str, batch_size: int, num_steps: int, iters: int) -> float:
+def pick_path(env, requested: str) -> str:
+    if requested != "auto":
+        return requested
+    return "packed" if fused_rollout_supported(env) else "vmap"
+
+
+def build(env, path: str, num_steps: int):
+    if path == "vmap":
+        return build_rollout(env, num_steps=num_steps)
+    if path == "packed":
+        return build_packed_xla_rollout(env, num_steps=num_steps)
+    if path == "pallas":
+        return build_fused_rollout(env, num_steps=num_steps)
+    raise ValueError(f"unknown path {path!r}")
+
+
+def run(env_id: str, batch_size: int, num_steps: int, iters: int, path: str) -> float:
     env = minigrid_tpu.make(env_id)
-    rollout = jax.jit(build_rollout(env, num_steps=num_steps))
+    path = pick_path(env, path)
+    rollout = jax.jit(build(env, path, num_steps))
 
     key = jax.random.PRNGKey(0)
     key, k_reset = jax.random.split(key)
@@ -62,9 +94,14 @@ def main():
     p.add_argument("--batch-size", type=int, default=8192)
     p.add_argument("--num-steps", type=int, default=256)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument(
+        "--path", default="auto", choices=["auto", "vmap", "packed", "pallas"]
+    )
     args = p.parse_args()
 
-    steps_per_sec = run(args.env_id, args.batch_size, args.num_steps, args.iters)
+    steps_per_sec = run(
+        args.env_id, args.batch_size, args.num_steps, args.iters, args.path
+    )
     print(
         json.dumps(
             {
