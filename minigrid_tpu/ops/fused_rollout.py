@@ -13,7 +13,13 @@ TPU-native layout instead puts the *batch* in the lane dimension:
     into one int32 word (4+4+4+4+4 bits), so the grid is a single
     `(H·W, B)` int32 array — full 128-lane occupancy on every op;
   * all per-env scalars (agent x/y/dir, carried object, step count) are
-    rows of an `(8, B)` int32 register file.
+    rows of an `(8, B)` int32 register file;
+  * the grid is kept AGENT-CENTERED: lane b's rows are rolled so the agent's
+    cell is row 0 (`_roll_to_base`, applied once outside the loop). Every
+    address the step needs — the forward cell, all V² egocentric view
+    cells — is then a compile-time constant per direction, so reads are
+    static slices + 4-way selects and a forward move is one static roll.
+    No per-lane dynamic addressing anywhere in the hot loop.
 
 Two backends share the SAME step math (`_step_core`):
 
@@ -61,7 +67,7 @@ matches to float tolerance only.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,38 +208,134 @@ def visibility_bitmask(trans_rows: jnp.ndarray, view: int) -> jnp.ndarray:
 # Shared step math (backend-independent)
 # --------------------------------------------------------------------------
 
-# gather(words, wflat) -> (V², B) words at per-lane flat indices `wflat`.
-GatherFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+def _dir_tables(width: int, height: int, view: int):
+    """Per-direction constant offset tables (numpy; trace-time only).
+
+    In the agent-centered rolled layout every address the step needs is a
+    COMPILE-TIME constant per direction:
+      off_fwd[d]  — rolled row of the forward cell;
+      off_view[d] — (V²,) rolled rows of the egocentric view cells;
+      dxk/dyk[d]  — (V²,) world-frame view offsets (for the OOB mask).
+    """
+    hw = width * height
+    half = view // 2
+    kv = np.arange(view * view)
+    rd = (view - 1) - kv // view  # forward distance per view cell
+    co = kv % view - half  # lateral offset per view cell
+    off_fwd, off_view, dxk, dyk = [], [], [], []
+    for f0, f1 in ((1, 0), (0, 1), (-1, 0), (0, -1)):  # DIR_TO_VEC
+        r0, r1 = -f1, f0  # right-perpendicular
+        dx = f0 * rd + r0 * co
+        dy = f1 * rd + r1 * co
+        dxk.append(dx.astype(np.int32))
+        dyk.append(dy.astype(np.int32))
+        off_view.append(((dy * width + dx) % hw).astype(np.int32))
+        off_fwd.append(int((f1 * width + f0) % hw))
+    return off_fwd, off_view, dxk, dyk
+
+
+def _sel4(d: jnp.ndarray, vals) -> jnp.ndarray:
+    """4-way select by direction (branchless `lax.switch`-equivalent)."""
+    return jnp.where(
+        d == 0,
+        vals[0],
+        jnp.where(d == 1, vals[1], jnp.where(d == 2, vals[2], vals[3])),
+    )
+
+
+def _sliced_rows(x: jnp.ndarray, rows) -> jnp.ndarray:
+    """Rows of `x` at compile-time-constant indices as a concat of static
+    slices — lowers on every backend including Mosaic (where value-level
+    gathers do not), but drives XLA:TPU compile time through the roof at
+    V²-scale row counts; the kernel uses it, XLA paths use `_take_rows`."""
+    return jnp.concatenate(
+        [lax.slice_in_dim(x, int(r), int(r) + 1, axis=0) for r in rows], axis=0
+    )
+
+
+def _take_rows(x: jnp.ndarray, rows) -> jnp.ndarray:
+    """Rows of `x` at compile-time-constant indices as one gather."""
+    return jnp.take(x, jnp.asarray(np.asarray(rows, dtype=np.int32)), axis=0)
+
+
+def _matmul_rows(x: jnp.ndarray, rows) -> jnp.ndarray:
+    """Rows of `x` at compile-time-constant indices as one MXU matmul:
+    `onehot(rows) @ x` with f32 accumulation. Exact for packed cell words
+    (< 2^20 < 2^24, the f32 mantissa); each output row copies exactly one
+    input row. The TPU-friendly reader: a (R, HW)·(HW, B) matmul instead of
+    a gather XLA:TPU lowers poorly."""
+    rows = np.asarray(rows, dtype=np.int64)
+    sel = np.zeros((len(rows), x.shape[0]), dtype=np.float32)
+    sel[np.arange(len(rows)), rows] = 1.0
+    return jnp.dot(
+        jnp.asarray(sel), x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
+def _roll_static(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """`out[s] = x[(s + k) % n]` for a compile-time-constant k."""
+    k %= x.shape[0]
+    if k == 0:
+        return x
+    return jnp.concatenate([x[k:], x[:k]], axis=0)
+
+
+def _roll_to_base(words: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane roll: `out[s, b] = words[(base[b] + s) % HW, b]`.
+
+    Binary-decomposed: log2(HW) static rolls, each kept or skipped per lane
+    by one bit of `base` — O(HW·log HW) data movement, no gathers. Used once
+    per rollout (pack / template / unpack), never inside the step loop.
+    """
+    hw = words.shape[0]
+    out = words
+    shift = 1
+    while shift < hw:
+        rolled = jnp.concatenate([out[shift:], out[:shift]], axis=0)
+        out = jnp.where((base // shift) % 2 == 1, rolled, out)
+        shift *= 2
+    return out
 
 
 def _step_core(
-    words: jnp.ndarray,  # (HW, B) int32
+    words: jnp.ndarray,  # (HW, B) int32, agent-centered rolled layout
     regs: jnp.ndarray,  # (NUM_REGS, B) int32
     a: jnp.ndarray,  # (1, B) int32
-    tmpl_words: jnp.ndarray,
+    tmpl_words: jnp.ndarray,  # (HW, B) rolled to the template agent's base
     tmpl_regs: jnp.ndarray,
-    gather: GatherFn,
     *,
     width: int,
     height: int,
     view: int,
     max_steps: int,
     see_through_walls: bool,
+    row_reader=_sliced_rows,
 ):
     """One packed transition + auto-reset + obs checksum.
 
     Returns `(words2, regs2, reward(1,B) f32, done(1,B) bool, obs_sum(1,B))`.
     Pure jnp on (rows, B) arrays — runs identically inside the Pallas kernel
     (values loaded from VMEM refs) and in the XLA scan body.
+
+    Layout: `words` is AGENT-CENTERED — row s of lane b holds world cell
+    `(base_b + s) % HW` where `base_b = y_b·W + x_b` is the agent's flat
+    position. The agent is always row 0, so the forward cell and all V²
+    egocentric view cells sit at per-direction COMPILE-TIME-CONSTANT rows
+    (`_dir_tables`): reads are static slices, the observation gather is four
+    static row-selections + a 4-way select, and a `forward` move is one
+    static roll of the grid. This removes every per-lane dynamic address
+    from the hot loop (the naive packed layout spent half its step budget on
+    an O(HW·V²) masked-sum gather).
     """
     hw = width * height
     half = view // 2
     agent_k = (view - 1) * view + half  # agent cell's flat view index
+    off_fwd, off_view, _, _ = _dir_tables(width, height, view)
 
     iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
     kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
-    rd = (view - 1) - kvec // view  # forward distance per view cell
-    co = kvec % view - half  # lateral offset per view cell
     pow_i = 1 << (kvec % view)  # row-bit weight per view cell
 
     x = regs[R_X : R_X + 1, :]
@@ -250,9 +352,9 @@ def _step_core(
     diry = (d == 1).astype(jnp.int32) - (d == 3).astype(jnp.int32)
     fwd_x = x + dirx
     fwd_y = y + diry
-    fwd_flat = fwd_y * width + fwd_x  # (1, B), always in bounds (wall ring)
-    fwd_mask = iota_hw == fwd_flat  # (HW, B)
-    fwdw = jnp.sum(words * fwd_mask.astype(jnp.int32), axis=0, keepdims=True)
+    # Forward-cell read: 4 static rows of the rolled grid, select by dir.
+    fwd4 = row_reader(words, off_fwd)  # (4, B)
+    fwdw = _sel4(d, [fwd4[i : i + 1, :] for i in range(4)])
     ft = fwdw & 15
     fc = (fwdw >> 4) & 15
     fs = (fwdw >> 8) & 15
@@ -317,13 +419,23 @@ def _step_core(
     new_fwd = jnp.where(do_drop, dropped, new_fwd)
     new_fwd = jnp.where(is_toggle & (ft == C.DOOR), toggled_door, new_fwd)
     new_fwd = jnp.where(is_toggle & (ft == C.BOX), toggled_box, new_fwd)
+    # Write-back at the forward cell: its rolled row is one of 4 constants.
+    off_f = _sel4(d, [jnp.full_like(d, o) for o in off_fwd])  # (1, B)
+    fwd_mask = iota_hw == off_f  # (HW, B)
     words1 = jnp.where(fwd_mask, new_fwd, words)
+
+    # Re-center the grid on the agent after a forward move: a static roll by
+    # the per-direction offset, selected branchlessly per lane.
+    rolls = [_roll_static(words1, o) for o in off_fwd]
+    words_m = words1
+    for i in range(4):
+        words_m = jnp.where(moves & (d == i), rolls[i], words_m)
 
     truncated = sc1 >= max_steps
     done = terminated | truncated
 
     # ---- template auto-reset (core/autoreset.py semantics) ----------------
-    words2 = jnp.where(done, tmpl_words, words1)
+    words2 = jnp.where(done, tmpl_words, words_m)
     x2 = jnp.where(done, tmpl_regs[R_X : R_X + 1, :], x1)
     y2 = jnp.where(done, tmpl_regs[R_Y : R_Y + 1, :], y1)
     d2 = jnp.where(done, tmpl_regs[R_DIR : R_DIR + 1, :], d1)
@@ -334,16 +446,22 @@ def _step_core(
     sc2 = jnp.where(done, 0, sc1)
     regs2 = jnp.concatenate([x2, y2, d2, ct2, cc2, cct2, ccc2, sc2], axis=0)
 
-    # ---- egocentric view gather (core/obs.py affine gather) ---------------
+    # ---- egocentric view read (static rows of the re-centered grid) -------
+    v2 = view * view
+    vw_all = row_reader(words2, np.concatenate(off_view))  # (4·V², B)
+    vw4 = [vw_all[i * v2 : (i + 1) * v2] for i in range(4)]
+    vw = _sel4(d2, vw4)
+    # OOB mask: in rolled coordinates OOB reads wrap around the grid, so
+    # mask them with the world-frame extents (wall fill, Grid.slice
+    # semantics, minigrid.py:~467-490). Offsets are rebuilt arithmetically
+    # from iota (a Pallas kernel cannot capture constant arrays).
+    rdv = (view - 1) - kvec // view  # forward distance per view cell
+    cov = kvec % view - half  # lateral offset per view cell
     f0 = (d2 == 0).astype(jnp.int32) - (d2 == 2).astype(jnp.int32)
     f1 = (d2 == 1).astype(jnp.int32) - (d2 == 3).astype(jnp.int32)
-    r0, r1 = -f1, f0
-    wx = x2 + f0 * rd + r0 * co  # (V², B)
-    wy = y2 + f1 * rd + r1 * co
+    wx = x2 + f0 * rdv - f1 * cov  # (V², B)
+    wy = y2 + f1 * rdv + f0 * cov
     inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
-    wflat = jnp.clip(wy, 0, height - 1) * width + jnp.clip(wx, 0, width - 1)
-
-    vw = gather(words2, wflat)
     vw = jnp.where(inb, vw, _WALL_WORD)
     # Carried-object overlay on the agent's own view cell.
     agent_word = jnp.where(ct2 > 0, ct2 | (cc2 << 4), _EMPTY_WORD)
@@ -383,18 +501,6 @@ def _step_core(
     obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
 
     return words2, regs2, reward, done, obs_sum
-
-
-def _masked_sum_gather(words: jnp.ndarray, wflat: jnp.ndarray) -> jnp.ndarray:
-    """Gather by looping grid cells with a masked sum — no dynamic indexing,
-    guaranteed to vectorize on the VPU (hw fused multiply-adds over (V², B))."""
-    hw = words.shape[0]
-
-    def body(cell, vw):
-        w_cell = lax.dynamic_slice_in_dim(words, cell, 1, axis=0)  # (1, B)
-        return vw + w_cell * (wflat == cell).astype(jnp.int32)
-
-    return lax.fori_loop(0, hw, body, jnp.zeros_like(wflat))
 
 
 # --------------------------------------------------------------------------
@@ -448,7 +554,6 @@ def _rollout_kernel(
             a,
             tmpl_words,
             tmpl_regs,
-            _masked_sum_gather,
             width=width,
             height=height,
             view=view,
@@ -549,15 +654,24 @@ def _replay_rng_chain(env: Env, rng0: jnp.ndarray, n_resets: jnp.ndarray):
     return lax.while_loop(cond, body, (rng0, n_resets))[0]
 
 
+def _agent_base(regs: jnp.ndarray, width: int) -> jnp.ndarray:
+    return regs[R_Y : R_Y + 1, :] * width + regs[R_X : R_X + 1, :]  # (1, B)
+
+
 def _prepare(env: Env, num_steps: int, mode: str, key, states: EnvState):
-    """Shared host-side setup: packed state, reset template, action stream."""
+    """Shared host-side setup: packed state, reset template, action stream.
+
+    Grids are returned in the agent-centered rolled layout `_step_core`
+    expects (one `_roll_to_base` each — outside the step loop)."""
     cfg = env.config
     words0, regs0 = pack_states(states)
+    words0 = _roll_to_base(words0, _agent_base(regs0, cfg.width))
     # Reset target: each env's own layout, regenerated from its rng leaf
     # (identical to the live layout for deterministic families; the pinned
     # layout in cached mode).
     template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
     tmpl_words, tmpl_regs = pack_states(template)
+    tmpl_words = _roll_to_base(tmpl_words, _agent_base(tmpl_regs, cfg.width))
 
     policy = random_policy(cfg.num_actions)
     keys = jax.random.split(key, num_steps)
@@ -593,6 +707,10 @@ def _finish(
         total_steps=jnp.int32(b * num_steps),
         obs_checksum=jnp.sum(csum_per_env),
     )
+    # Undo the agent-centered roll (inverse roll by HW - base).
+    hw = env.config.width * env.config.height
+    base_f = _agent_base(regs_f, env.config.width)
+    words_f = _roll_to_base(words_f, (hw - base_f) % hw)
     final = unpack_states(words_f, regs_f, states, env.config)
     return final.replace(rng=final_rng), metrics
 
@@ -729,12 +847,12 @@ def build_packed_xla_rollout(
 
     step_math = functools.partial(
         _step_core,
-        gather=_masked_sum_gather,
         width=cfg.width,
         height=cfg.height,
         view=cfg.agent_view_size,
         max_steps=cfg.max_steps,
         see_through_walls=cfg.see_through_walls,
+        row_reader=_matmul_rows,
     )
 
     def rollout(key: jax.Array, states: EnvState):
