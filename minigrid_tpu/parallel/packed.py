@@ -1,0 +1,102 @@
+"""Multi-chip scaling for the packed-lane rollout engines.
+
+The packed rollouts (`ops/fused_rollout.py`) put the env batch in the TPU
+lane dimension — `(H·W, B)` int32 grids, `(8, B)` registers. Scaling them
+across a device mesh is pure data parallelism over lanes: each device runs
+the identical single-chip program on its `B / n_env` slice of the batch and
+the only cross-device traffic is one `psum` of the four scalar metrics at
+the end. This is the GSPMD replacement for the multi-process vector env the
+reference never had (SURVEY.md §2.11): one jitted program, collectives over
+ICI, no host round-trips.
+
+`shard_map` (not bare GSPMD jit) because the Pallas backend is a manual
+kernel XLA cannot partition on its own; the XLA twin rides along for free.
+Per-shard action streams derive from `fold_in(key, shard_index)`, so the
+sharded rollout is deterministic in `(key, mesh)` but samples a different
+(equally random) action stream than the single-chip program — equivalence
+per shard is asserted in tests/test_parallel.py by replaying each shard's
+folded key through the single-chip builder.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from minigrid_tpu.core.rollout import RolloutMetrics, build_rollout
+from minigrid_tpu.core.state import EnvState
+from minigrid_tpu.envs.base import Env
+from minigrid_tpu.ops.fused_rollout import (
+    build_fused_rollout,
+    build_packed_xla_rollout,
+    fused_rollout_supported,
+)
+from minigrid_tpu.parallel.sharding import ENV_AXIS
+
+
+def _pick_backend(env: Env, mode: str) -> str:
+    if not fused_rollout_supported(env, mode=mode):
+        return "vmap"
+    return "pallas" if jax.default_backend() == "tpu" else "packed"
+
+
+def build_sharded_rollout(
+    env: Env,
+    num_steps: int,
+    mesh: Mesh,
+    mode: str = "regen",
+    backend: str = "auto",
+    lane_block: Optional[int] = None,
+):
+    """Returns `rollout(key, states) -> (states, RolloutMetrics)` sharded
+    over the mesh's 'env' axis.
+
+    `states` must be batched with the batch axis divisible by the mesh's
+    'env' extent (place with `parallel.sharding.shard_states`). Per-shard
+    work is the unmodified single-chip rollout; metrics are psum'd, final
+    states stay sharded. `backend`: 'auto' picks pallas on TPU / the packed
+    XLA twin elsewhere when the env supports it, falling back to the vmap
+    engine (which supports every family) otherwise.
+    """
+    if backend == "auto":
+        backend = _pick_backend(env, mode)
+    if backend == "pallas":
+        inner = build_fused_rollout(env, num_steps, lane_block=lane_block, mode=mode)
+    elif backend == "packed":
+        inner = build_packed_xla_rollout(env, num_steps, mode=mode)
+    elif backend == "vmap":
+        autoreset_mode = mode if mode in ("regen", "cached") else "regen"
+        inner = build_rollout(env, num_steps, autoreset_mode=autoreset_mode)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def shard_body(key: jax.Array, states: EnvState):
+        key = jax.random.fold_in(key, lax.axis_index(ENV_AXIS))
+        final, m = inner(key, states)
+        metrics = RolloutMetrics(
+            episodes=lax.psum(m.episodes, ENV_AXIS),
+            total_reward=lax.psum(m.total_reward, ENV_AXIS),
+            total_steps=lax.psum(m.total_steps, ENV_AXIS),
+            obs_checksum=lax.psum(m.obs_checksum, ENV_AXIS),
+        )
+        return final, metrics
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(ENV_AXIS)),
+        out_specs=(P(ENV_AXIS), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def rollout(key: jax.Array, states: EnvState):
+        return sharded(key, states)
+
+    return rollout

@@ -83,3 +83,73 @@ class TestMesh:
         np.testing.assert_array_equal(np.asarray(states.grid), np.asarray(ref.grid))
         info = process_info()
         assert info["global_device_count"] == 8
+
+
+class TestShardedPackedRollout:
+    """parallel/packed.py: the packed-lane engines under shard_map."""
+
+    def _setup(self, env_id, batch, seed=0):
+        env = minigrid_tpu.make(env_id)
+        mesh = make_env_mesh()
+        key = jax.random.PRNGKey(seed)
+        key, kr = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(kr, batch)
+        return env, mesh, key, shard_states(states, mesh)
+
+    def test_matches_per_shard_replay(self):
+        """Each shard runs the unmodified single-chip program under
+        fold_in(key, shard_index): replaying those keys shard-by-shard
+        through the single-chip builder must reproduce the sharded run
+        exactly (states bit-for-bit, integer metrics equal)."""
+        from minigrid_tpu.ops.fused_rollout import build_packed_xla_rollout
+        from minigrid_tpu.parallel.packed import build_sharded_rollout
+
+        B, T, n = 8 * 256, 16, 8
+        env, mesh, key, states = self._setup("MiniGrid-Empty-8x8-v0", B)
+        final, m = build_sharded_rollout(env, T, mesh, backend="packed")(
+            key, states
+        )
+
+        inner = jax.jit(build_packed_xla_rollout(env, T))
+        bs = B // n
+        eps = steps = csum = 0
+        rew = 0.0
+        finals = []
+        for i in range(n):
+            sub = jax.tree.map(lambda x: x[i * bs : (i + 1) * bs], states)
+            f, mi = inner(jax.random.fold_in(key, i), sub)
+            eps += int(mi.episodes)
+            rew += float(mi.total_reward)
+            steps += int(mi.total_steps)
+            csum += int(mi.obs_checksum)
+            finals.append(f)
+
+        assert int(m.episodes) == eps
+        assert int(m.total_steps) == steps
+        assert int(m.obs_checksum) == csum
+        np.testing.assert_allclose(float(m.total_reward), rew, rtol=1e-5, atol=1e-6)
+        cat = jax.tree.map(lambda *xs: jnp.concatenate(xs), *finals)
+        for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(cat)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pallas_backend_matches_packed(self):
+        from minigrid_tpu.parallel.packed import build_sharded_rollout
+
+        B, T = 8 * 128, 8
+        env, mesh, key, states = self._setup("MiniGrid-Empty-8x8-v0", B, seed=1)
+        mp = build_sharded_rollout(env, T, mesh, backend="packed")(key, states)[1]
+        fp = build_sharded_rollout(env, T, mesh, backend="pallas")(key, states)[1]
+        assert int(mp.obs_checksum) == int(fp.obs_checksum)
+        assert int(mp.episodes) == int(fp.episodes)
+
+    def test_auto_falls_back_to_vmap_engine(self):
+        """Families the packed layout doesn't support (custom step
+        overrides) still shard: backend='auto' routes to the vmap engine."""
+        from minigrid_tpu.parallel.packed import build_sharded_rollout
+
+        B, T = 8 * 16, 8
+        env, mesh, key, states = self._setup(
+            "MiniGrid-Dynamic-Obstacles-5x5-v0", B
+        )
+        _, m = build_sharded_rollout(env, T, mesh, backend="auto")(key, states)
+        assert int(m.total_steps) == B * T
