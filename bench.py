@@ -51,30 +51,32 @@ from minigrid_tpu.ops.fused_rollout import (
 REFERENCE_STEPS_PER_SEC = 3_000.0  # pure-Python MiniGrid, 1 CPU core (external)
 
 
-def pick_path(env, requested: str) -> str:
+def pick_path(env, requested: str, mode: str) -> str:
     if requested != "auto":
         return requested
-    if not fused_rollout_supported(env):
+    if not fused_rollout_supported(env, mode=mode):
         return "vmap"
     # The Pallas kernel (state resident in VMEM across steps) wins on real
     # TPU hardware; the packed XLA twin is the portable fast path.
     return "pallas" if jax.default_backend() == "tpu" else "packed"
 
 
-def build(env, path: str, num_steps: int):
+def build(env, path: str, num_steps: int, mode: str):
     if path == "vmap":
-        return build_rollout(env, num_steps=num_steps)
+        return build_rollout(env, num_steps=num_steps, autoreset_mode=mode)
     if path == "packed":
-        return build_packed_xla_rollout(env, num_steps=num_steps)
+        return build_packed_xla_rollout(env, num_steps=num_steps, mode=mode)
     if path == "pallas":
-        return build_fused_rollout(env, num_steps=num_steps)
+        return build_fused_rollout(env, num_steps=num_steps, mode=mode)
     raise ValueError(f"unknown path {path!r}")
 
 
-def run(env_id: str, batch_size: int, num_steps: int, iters: int, path: str) -> float:
+def run(
+    env_id: str, batch_size: int, num_steps: int, iters: int, path: str, mode: str
+) -> float:
     env = minigrid_tpu.make(env_id)
-    path = pick_path(env, path)
-    rollout = jax.jit(build(env, path, num_steps))
+    path = pick_path(env, path, mode)
+    rollout = jax.jit(build(env, path, num_steps, mode))
 
     key = jax.random.PRNGKey(0)
     key, k_reset = jax.random.split(key)
@@ -110,10 +112,17 @@ def main():
     p.add_argument(
         "--path", default="auto", choices=["auto", "vmap", "packed", "pallas"]
     )
+    p.add_argument(
+        "--mode",
+        default="regen",
+        choices=["regen", "cached"],
+        help="auto-reset mode; 'cached' unlocks the packed engines on every "
+        "family except dynamicobstacles (see ops/fused_rollout.py)",
+    )
     args = p.parse_args()
 
     steps_per_sec = run(
-        args.env_id, args.batch_size, args.num_steps, args.iters, args.path
+        args.env_id, args.batch_size, args.num_steps, args.iters, args.path, args.mode
     )
     print(
         json.dumps(

@@ -9,5 +9,6 @@ vector lanes, keeping the entire multi-step simulation resident in VMEM.
 
 from minigrid_tpu.ops.fused_rollout import (  # noqa: F401
     build_fused_rollout,
+    build_packed_xla_rollout,
     fused_rollout_supported,
 )

@@ -12,8 +12,9 @@ TPU-native layout instead puts the *batch* in the lane dimension:
   * the whole grid cell `(type, color, state, cont_type, cont_color)` packs
     into one int32 word (4+4+4+4+4 bits), so the grid is a single
     `(H·W, B)` int32 array — full 128-lane occupancy on every op;
-  * all per-env scalars (agent x/y/dir, carried object, step count) are
-    rows of an `(8, B)` int32 register file;
+  * all per-env scalars (agent x/y/dir, carried object, step count) plus
+    the aux / mission vectors are rows of a `(NUM_REGS, B)` int32 register
+    file;
   * the grid is kept AGENT-CENTERED: lane b's rows are rolled so the agent's
     cell is row 0 (`_roll_to_base`, applied once outside the loop). Every
     address the step needs — the forward cell, all V² egocentric view
@@ -82,9 +83,19 @@ from minigrid_tpu.core.state import EnvConfig, EnvState
 from minigrid_tpu.core.step import base_step
 from minigrid_tpu.envs.base import Env
 
-# Register-file row indices (the `(NUM_REGS, B)` int32 scalar block).
+# Register-file row layout (the `(NUM_REGS, B)` int32 block): 8 scalars,
+# then the per-env aux vector and the integer mission encoding. aux/mission
+# are inert during an episode but change on cached-mode auto-reset (the
+# pinned layout's target ids differ from the live episode's for
+# random-layout families), so they ride in the register file and reset
+# through the same done-select as everything else.
 R_X, R_Y, R_DIR, R_CT, R_CC, R_CCT, R_CCC, R_SC = range(8)
-NUM_REGS = 8
+R_AUX = 8  # ..R_AUX+AUX_LEN
+from minigrid_tpu.core.state import AUX_LEN as _AUX_LEN  # noqa: E402
+from minigrid_tpu.core.state import MISSION_LEN as _MISSION_LEN  # noqa: E402
+
+R_MISSION = R_AUX + _AUX_LEN  # ..R_MISSION+MISSION_LEN
+NUM_REGS = R_MISSION + _MISSION_LEN
 
 _WALL_WORD = C.WALL | (C.GREY << 4)  # OOB view cells read as grey walls
 _EMPTY_WORD = C.EMPTY
@@ -112,16 +123,22 @@ def pack_states(states: EnvState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = words.shape[0]
     words = words.reshape(b, -1).T  # (HW, B)
     carry = states.carrying.astype(jnp.int32)
-    regs = jnp.stack(
+    regs = jnp.concatenate(
         [
-            states.agent_pos[:, 0],
-            states.agent_pos[:, 1],
-            states.agent_dir,
-            carry[:, 0],
-            carry[:, 1],
-            carry[:, 2],
-            carry[:, 3],
-            states.step_count,
+            jnp.stack(
+                [
+                    states.agent_pos[:, 0],
+                    states.agent_pos[:, 1],
+                    states.agent_dir,
+                    carry[:, 0],
+                    carry[:, 1],
+                    carry[:, 2],
+                    carry[:, 3],
+                    states.step_count,
+                ]
+            ),
+            states.aux.astype(jnp.int32).T,
+            states.mission.astype(jnp.int32).T,
         ]
     )  # (NUM_REGS, B)
     return words, regs
@@ -132,11 +149,10 @@ def unpack_states(
 ) -> EnvState:
     """Inverse of `pack_states`.
 
-    Only the kernel-evolved leaves (grid / pos / dir / carrying /
-    step_count) are rebuilt from the packed arrays; rng / mission / aux pass
+    All kernel-evolved leaves (grid / pos / dir / carrying / step_count /
+    aux / mission) are rebuilt from the packed arrays; only rng passes
     through from `template`, which callers should take from the *input*
-    states (not a freshly generated batch) so untouched leaves keep their
-    identity.
+    states (not a freshly generated batch) so it keeps its identity.
     """
     hw, b = words.shape
     w = words.T.reshape(b, config.height, config.width)
@@ -152,6 +168,8 @@ def unpack_states(
             [regs[R_CT], regs[R_CC], regs[R_CCT], regs[R_CCC]], axis=-1
         ).astype(jnp.uint8),
         step_count=regs[R_SC],
+        aux=regs[R_AUX : R_AUX + _AUX_LEN].T,
+        mission=regs[R_MISSION : R_MISSION + _MISSION_LEN].T,
     )
 
 
@@ -312,6 +330,8 @@ def _step_core(
     max_steps: int,
     see_through_walls: bool,
     row_reader=_sliced_rows,
+    hook=None,  # packed_hooks.HOOKS entry for this family (or None)
+    remap_action=None,  # packed_hooks.ACTION_REMAPS entry (or None)
 ):
     """One packed transition + auto-reset + obs checksum.
 
@@ -346,6 +366,10 @@ def _step_core(
     cct = regs[R_CCT : R_CCT + 1, :]
     ccc = regs[R_CCC : R_CCC + 1, :]
     sc = regs[R_SC : R_SC + 1, :]
+
+    a_orig = a
+    if remap_action is not None:
+        a = remap_action(a)
 
     # ---- transition (core/step.py semantics, minigrid.py:~1087-1160) ------
     dirx = (d == 0).astype(jnp.int32) - (d == 2).astype(jnp.int32)
@@ -424,6 +448,36 @@ def _step_core(
     fwd_mask = iota_hw == off_f  # (HW, B)
     words1 = jnp.where(fwd_mask, new_fwd, words)
 
+    # ---- family post-hook (packed_hooks.py) --------------------------------
+    # Runs on the base transition's outcome, exactly where the vmap engine's
+    # per-family `step` wraps `base_step`. Absolute cell reads resolve in
+    # the pre-step agent frame (`words` / `words1` are both rolled to it).
+    if hook is not None:
+        from minigrid_tpu.ops.packed_hooks import HookVals
+
+        base = y * width + x  # (1, B) pre-step agent flat position
+
+        def _read_abs(grid_words, ax, ay):
+            row = ((ay * width + ax) - base) % hw  # (1, B)
+            return jnp.sum(
+                jnp.where(iota_hw == row, grid_words, 0), axis=0, keepdims=True
+            )
+
+        reward, terminated = hook(
+            HookVals(
+                a=a_orig,
+                x=x, y=y, ct=ct, cc=cc,
+                x1=x1, y1=y1, ct1=ct1, cc1=cc1,
+                fwd_x=fwd_x, fwd_y=fwd_y,
+                reward=reward,
+                terminated=terminated,
+                success=1.0 - 0.9 * (sc1.astype(jnp.float32) / max_steps),
+                aux=regs[R_AUX : R_AUX + _AUX_LEN, :],
+                read_pre=functools.partial(_read_abs, words),
+                read_post=functools.partial(_read_abs, words1),
+            )
+        )
+
     # Re-center the grid on the agent after a forward move: a static roll by
     # the per-direction offset, selected branchlessly per lane.
     rolls = [_roll_static(words1, o) for o in off_fwd]
@@ -444,7 +498,11 @@ def _step_core(
     cct2 = jnp.where(done, tmpl_regs[R_CCT : R_CCT + 1, :], cct1)
     ccc2 = jnp.where(done, tmpl_regs[R_CCC : R_CCC + 1, :], ccc1)
     sc2 = jnp.where(done, 0, sc1)
-    regs2 = jnp.concatenate([x2, y2, d2, ct2, cc2, cct2, ccc2, sc2], axis=0)
+    # aux + mission rows: inert during the episode, template on reset.
+    tail2 = jnp.where(done, tmpl_regs[R_AUX:, :], regs[R_AUX:, :])
+    regs2 = jnp.concatenate(
+        [x2, y2, d2, ct2, cc2, cct2, ccc2, sc2, tail2], axis=0
+    )
 
     # ---- egocentric view read (static rows of the re-centered grid) -------
     v2 = view * view
@@ -533,6 +591,8 @@ def _rollout_kernel(
     max_steps: int,
     step_chunk: int,
     see_through_walls: bool,
+    hook=None,
+    remap_action=None,
 ):
     # First step-chunk for this batch block: load state, zero accumulators.
     @pl.when(pl.program_id(1) == 0)
@@ -559,6 +619,8 @@ def _rollout_kernel(
             view=view,
             max_steps=max_steps,
             see_through_walls=see_through_walls,
+            hook=hook,
+            remap_action=remap_action,
         )
         words_s[:] = words2
         regs_s[:] = regs2
@@ -592,6 +654,25 @@ def _is_base_step(env: Env) -> bool:
     return env.transition is base_step
 
 
+def _packed_hook(env: Env):
+    """(hook, remap_action) for this env's transition, or (None, None) for
+    the base step kernel. Raises KeyError-free: an unknown transition simply
+    has no packed support (see `fused_rollout_supported`)."""
+    if _is_base_step(env):
+        return None, None
+    from minigrid_tpu.ops.packed_hooks import ACTION_REMAPS, HOOKS
+
+    return HOOKS.get(env.transition), ACTION_REMAPS.get(env.transition)
+
+
+def _has_packed_step(env: Env) -> bool:
+    if _is_base_step(env):
+        return True
+    from minigrid_tpu.ops.packed_hooks import HOOKS
+
+    return env.transition in HOOKS
+
+
 def fused_rollout_supported(
     env: Env, batch_size: Optional[int] = None, mode: str = "regen"
 ) -> bool:
@@ -600,13 +681,15 @@ def fused_rollout_supported(
 
     mode="regen": deterministic-layout families only (Empty fixed variants,
     DistShift). mode="cached": every family whose transition is the base
-    step kernel (no per-family step override, no stochastic transitions).
+    step kernel or has a registered packed post-hook (packed_hooks.py) —
+    20 of the 21 families; only dynamicobstacles (stochastic pre-step grid
+    mutation) stays on the vmap engine.
     """
     cfg = env.config
-    if not _is_base_step(env):
+    if not _has_packed_step(env):
         return False
     if mode == "regen":
-        ok = cfg.family in _DETERMINISTIC_LAYOUT and (
+        ok = _is_base_step(env) and cfg.family in _DETERMINISTIC_LAYOUT and (
             cfg.family != "empty" or cfg.agent_start_pos is not None
         )
     elif mode == "cached":
@@ -759,6 +842,7 @@ def build_fused_rollout(
             f"{cfg.width}x{cfg.height} grid (max {auto_bt})"
         )
 
+    hook, remap_action = _packed_hook(env)
     kernel = functools.partial(
         _rollout_kernel,
         width=cfg.width,
@@ -767,6 +851,8 @@ def build_fused_rollout(
         max_steps=cfg.max_steps,
         step_chunk=tc,
         see_through_walls=cfg.see_through_walls,
+        hook=hook,
+        remap_action=remap_action,
     )
 
     def rollout(key: jax.Array, states: EnvState):
@@ -845,6 +931,7 @@ def build_packed_xla_rollout(
         )
     cfg = env.config
 
+    hook, remap_action = _packed_hook(env)
     step_math = functools.partial(
         _step_core,
         width=cfg.width,
@@ -853,6 +940,8 @@ def build_packed_xla_rollout(
         max_steps=cfg.max_steps,
         see_through_walls=cfg.see_through_walls,
         row_reader=_matmul_rows,
+        hook=hook,
+        remap_action=remap_action,
     )
 
     def rollout(key: jax.Array, states: EnvState):

@@ -29,12 +29,16 @@ from minigrid_tpu.ops.fused_rollout import (
 B = 128  # lane-block minimum
 
 
-def _run_both(env_id, num_steps, mode, step_chunk=32, seed=0, backend="pallas"):
+def _run_both(
+    env_id, num_steps, mode, step_chunk=32, seed=0, backend="pallas", doctor=None
+):
     env = minigrid_tpu.make(env_id)
     assert fused_rollout_supported(env, B, mode=mode), env_id
     key = jax.random.PRNGKey(seed)
     key, k_reset = jax.random.split(key)
     states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+    if doctor is not None:
+        states = doctor(states)
 
     xla = jax.jit(build_rollout(env, num_steps, autoreset_mode=mode))
     if backend == "pallas":
@@ -74,6 +78,7 @@ def _assert_equivalent(sx, mx, sf, mf):
     )
     np.testing.assert_array_equal(np.asarray(sf.rng), np.asarray(sx.rng))
     np.testing.assert_array_equal(np.asarray(sf.mission), np.asarray(sx.mission))
+    np.testing.assert_array_equal(np.asarray(sf.aux), np.asarray(sx.aux))
 
 
 class TestVisibilityBitmask:
@@ -145,11 +150,18 @@ class TestFusedEquivalenceRegen:
         with pytest.raises(ValueError):
             build_fused_rollout(env, 8, mode="regen")
 
-    def test_unsupported_custom_step_raises(self):
-        env = minigrid_tpu.make("MiniGrid-Fetch-5x5-N2-v0")
+    def test_unsupported_stochastic_step_raises(self):
+        # dynamicobstacles mutates the grid stochastically BEFORE the base
+        # step — not expressible as a packed post-hook.
+        env = minigrid_tpu.make("MiniGrid-Dynamic-Obstacles-5x5-v0")
         assert not fused_rollout_supported(env, mode="cached")
         with pytest.raises(ValueError):
             build_fused_rollout(env, 8, mode="cached")
+
+    def test_hooked_family_supported_cached_only(self):
+        env = minigrid_tpu.make("MiniGrid-Fetch-5x5-N2-v0")
+        assert fused_rollout_supported(env, mode="cached")
+        assert not fused_rollout_supported(env, mode="regen")
 
 
 class TestFusedEquivalenceCached:
@@ -220,3 +232,106 @@ class TestVmemSizing:
             jax.tree.leaves(states), jax.tree.leaves(back)
         ):
             np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+class TestPackedHookFamilies:
+    """The ten custom-step families on the packed engines (cached mode):
+    each family's post-hook (ops/packed_hooks.py) against its vmap `step`
+    override, random layouts, resets included. XLA twin for every family;
+    Pallas interpret mode for the three hook mechanisms (regs-only,
+    absolute-read, action-remap)."""
+
+    # (env_id, num_steps) — steps sized so random rollouts hit the hook's
+    # terminations (pickup/toggle/done fire constantly under random actions).
+    FAMILY_CASES = [
+        ("MiniGrid-Fetch-5x5-N2-v0", 64),
+        ("MiniGrid-GoToDoor-5x5-v0", 64),
+        ("MiniGrid-GoToObject-6x6-N2-v0", 64),
+        ("MiniGrid-PutNear-6x6-N2-v0", 64),
+        ("MiniGrid-MemoryS7-v0", 64),
+        ("MiniGrid-RedBlueDoors-6x6-v0", 64),
+    ]
+
+    # Families whose success path random actions can't reach in bounded
+    # steps (locked doors, hidden keys): reset states are DOCTORED to put
+    # the agent one action from the target, so the hook's success
+    # termination genuinely fires — both engines receive the identical
+    # doctored batch, so equivalence is still exact.
+    DOCTORED_CASES = [
+        ("MiniGrid-Unlock-v0", 64),
+        ("MiniGrid-UnlockPickup-v0", 64),
+        ("MiniGrid-BlockedUnlockPickup-v0", 64),
+        ("MiniGrid-KeyCorridorS3R1-v0", 64),
+        ("MiniGrid-ObstructedMaze-1Dl-v0", 64),
+    ]
+
+    @staticmethod
+    def _doctor(env_id):
+        from minigrid_tpu.core import constants as C
+
+        def doctor(states):
+            g = np.asarray(states.grid).copy()
+            pos = np.asarray(states.agent_pos).copy()
+            dirn = np.asarray(states.agent_dir).copy()
+            carry = np.asarray(states.carrying).copy()
+            aux = np.asarray(states.aux)
+            n = g.shape[0]
+            if env_id == "MiniGrid-Unlock-v0":
+                # Face the target door from its left, matching key in hand.
+                dx, dy = aux[:, 0], aux[:, 1]
+                color = g[np.arange(n), dy, dx, 1]
+                pos[:, 0], pos[:, 1] = dx - 1, dy
+                dirn[:] = 0
+                carry[:] = 0
+                carry[:, 0], carry[:, 1] = C.KEY, color
+            else:
+                # Park the agent at (1,1) facing the aux target (type,
+                # color) planted straight ahead, hands free.
+                pos[:, 0], pos[:, 1] = 1, 1
+                dirn[:] = 0
+                g[:, 1, 2, :] = 0
+                g[:, 1, 2, 0] = aux[:, 0]
+                g[:, 1, 2, 1] = aux[:, 1]
+                carry[:] = 0
+            return states.replace(
+                grid=jnp.asarray(g, dtype=states.grid.dtype),
+                agent_pos=jnp.asarray(pos, dtype=states.agent_pos.dtype),
+                agent_dir=jnp.asarray(dirn, dtype=states.agent_dir.dtype),
+                carrying=jnp.asarray(carry, dtype=states.carrying.dtype),
+            )
+
+        return doctor
+
+    @pytest.mark.parametrize("env_id,steps", FAMILY_CASES)
+    def test_xla_twin_matches_vmap(self, env_id, steps):
+        sx, mx, sf, mf = _run_both(env_id, steps, "cached", backend="xla")
+        # Hook terminations must actually fire under random actions,
+        # otherwise this test proves nothing about the hook.
+        assert int(mx.episodes) > 0, env_id
+        _assert_equivalent(sx, mx, sf, mf)
+
+    @pytest.mark.parametrize("env_id,steps", DOCTORED_CASES)
+    def test_xla_twin_matches_vmap_doctored(self, env_id, steps):
+        sx, mx, sf, mf = _run_both(
+            env_id, steps, "cached", backend="xla", doctor=self._doctor(env_id)
+        )
+        assert int(mx.episodes) > 0, env_id
+        _assert_equivalent(sx, mx, sf, mf)
+
+    @pytest.mark.parametrize(
+        "env_id",
+        [
+            "MiniGrid-Fetch-5x5-N2-v0",  # regs-only hook
+            "MiniGrid-Unlock-v0",  # absolute-cell read hook
+            "MiniGrid-MemoryS7-v0",  # action remap + pos hook
+        ],
+    )
+    def test_pallas_kernel_matches_vmap(self, env_id):
+        doctor = (
+            self._doctor(env_id) if env_id == "MiniGrid-Unlock-v0" else None
+        )
+        sx, mx, sf, mf = _run_both(
+            env_id, 32, "cached", step_chunk=16, backend="pallas", doctor=doctor
+        )
+        assert int(mx.episodes) > 0, env_id
+        _assert_equivalent(sx, mx, sf, mf)
