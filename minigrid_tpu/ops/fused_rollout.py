@@ -332,6 +332,7 @@ def _step_core(
     row_reader=_sliced_rows,
     hook=None,  # packed_hooks.HOOKS entry for this family (or None)
     remap_action=None,  # packed_hooks.ACTION_REMAPS entry (or None)
+    with_obs=False,  # also return the post-step (vw, vis) view
 ):
     """One packed transition + auto-reset + obs checksum.
 
@@ -350,13 +351,9 @@ def _step_core(
     an O(HW·V²) masked-sum gather).
     """
     hw = width * height
-    half = view // 2
-    agent_k = (view - 1) * view + half  # agent cell's flat view index
-    off_fwd, off_view, _, _ = _dir_tables(width, height, view)
+    off_fwd, _, _, _ = _dir_tables(width, height, view)
 
     iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
-    kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
-    pow_i = 1 << (kvec % view)  # row-bit weight per view cell
 
     x = regs[R_X : R_X + 1, :]
     y = regs[R_Y : R_Y + 1, :]
@@ -504,9 +501,61 @@ def _step_core(
         [x2, y2, d2, ct2, cc2, cct2, ccc2, sc2, tail2], axis=0
     )
 
+    # ---- post-step observation (the next policy input) --------------------
+    vw, vis = _obs_core(
+        words2,
+        regs2,
+        width=width,
+        height=height,
+        view=view,
+        see_through_walls=see_through_walls,
+        row_reader=row_reader,
+    )
+
+    # ---- obs checksum (type+color+state over visible cells) ---------------
+    tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
+    obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
+
+    if with_obs:
+        return words2, regs2, reward, done, obs_sum, vw, vis
+    return words2, regs2, reward, done, obs_sum
+
+
+def _obs_core(
+    words: jnp.ndarray,  # (HW, B) int32, agent-centered rolled layout
+    regs: jnp.ndarray,  # (NUM_REGS, B) int32
+    *,
+    width: int,
+    height: int,
+    view: int,
+    see_through_walls: bool,
+    row_reader=_sliced_rows,
+):
+    """Egocentric view of a packed state: `(vw, vis)`, both `(V², B)` int32.
+
+    `vw[j·V + i]` is the packed word of egocentric view cell (row j, col i)
+    — row-major, agent at (row V-1, col V//2), same layout as
+    `core.obs.gen_obs_grid` — wall-filled out of bounds, carried-object
+    overlay applied; `vis` is the occlusion mask (1 = visible). Shared by
+    `_step_core` (post-step obs + checksum) and callers that need the
+    pre-action observation of a freshly packed state (parallel/train.py).
+    """
+    hw = width * height
+    half = view // 2
+    agent_k = (view - 1) * view + half
+    _, off_view, _, _ = _dir_tables(width, height, view)
+    kvec = lax.broadcasted_iota(jnp.int32, (view * view, 1), 0)
+    pow_i = 1 << (kvec % view)
+
+    x2 = regs[R_X : R_X + 1, :]
+    y2 = regs[R_Y : R_Y + 1, :]
+    d2 = regs[R_DIR : R_DIR + 1, :]
+    ct2 = regs[R_CT : R_CT + 1, :]
+    cc2 = regs[R_CC : R_CC + 1, :]
+
     # ---- egocentric view read (static rows of the re-centered grid) -------
     v2 = view * view
-    vw_all = row_reader(words2, np.concatenate(off_view))  # (4·V², B)
+    vw_all = row_reader(words, np.concatenate(off_view))  # (4·V², B)
     vw4 = [vw_all[i * v2 : (i + 1) * v2] for i in range(4)]
     vw = _sel4(d2, vw4)
     # OOB mask: in rolled coordinates OOB reads wrap around the grid, so
@@ -553,12 +602,19 @@ def _step_core(
             )
             >> (kvec % view)
         ) & 1
+    return vw, vis
 
-    # ---- obs checksum (type+color+state over visible cells) ---------------
-    tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
-    obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
 
-    return words2, regs2, reward, done, obs_sum
+def packed_obs_image(vw: jnp.ndarray, vis: jnp.ndarray, view: int) -> jnp.ndarray:
+    """`(V², B)` packed view words + visibility → the `(B, V, V, 3)` uint8
+    observation image of `core.obs.gen_obs_image` ([x, y]-indexed, unseen
+    cells zeroed) — asserted byte-identical in tests/test_fused_rollout.py."""
+    t = (vw & 15) * vis
+    c = ((vw >> 4) & 15) * vis
+    s = ((vw >> 8) & 15) * vis
+    img = jnp.stack([t, c, s], axis=-1)  # (V², B, 3); kv = y·V + x
+    img = img.reshape(view, view, -1, 3)  # (y, x, B, 3)
+    return img.transpose(2, 1, 0, 3).astype(jnp.uint8)  # (B, x, y, 3)
 
 
 # --------------------------------------------------------------------------
@@ -741,20 +797,28 @@ def _agent_base(regs: jnp.ndarray, width: int) -> jnp.ndarray:
     return regs[R_Y : R_Y + 1, :] * width + regs[R_X : R_X + 1, :]  # (1, B)
 
 
+def _prepare_packed(env: Env, states: EnvState):
+    """Packed + agent-center-rolled live state and reset template.
+
+    The reset target is each env's own layout, regenerated from its rng
+    leaf (identical to the live layout for deterministic families; the
+    pinned layout in cached mode)."""
+    cfg = env.config
+    words0, regs0 = pack_states(states)
+    words0 = _roll_to_base(words0, _agent_base(regs0, cfg.width))
+    template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
+    tmpl_words, tmpl_regs = pack_states(template)
+    tmpl_words = _roll_to_base(tmpl_words, _agent_base(tmpl_regs, cfg.width))
+    return words0, regs0, tmpl_words, tmpl_regs
+
+
 def _prepare(env: Env, num_steps: int, mode: str, key, states: EnvState):
     """Shared host-side setup: packed state, reset template, action stream.
 
     Grids are returned in the agent-centered rolled layout `_step_core`
     expects (one `_roll_to_base` each — outside the step loop)."""
     cfg = env.config
-    words0, regs0 = pack_states(states)
-    words0 = _roll_to_base(words0, _agent_base(regs0, cfg.width))
-    # Reset target: each env's own layout, regenerated from its rng leaf
-    # (identical to the live layout for deterministic families; the pinned
-    # layout in cached mode).
-    template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
-    tmpl_words, tmpl_regs = pack_states(template)
-    tmpl_words = _roll_to_base(tmpl_words, _agent_base(tmpl_regs, cfg.width))
+    words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states)
 
     policy = random_policy(cfg.num_actions)
     keys = jax.random.split(key, num_steps)

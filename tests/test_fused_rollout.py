@@ -335,3 +335,47 @@ class TestPackedHookFamilies:
         )
         assert int(mx.episodes) > 0, env_id
         _assert_equivalent(sx, mx, sf, mf)
+
+
+class TestPackedObsImage:
+    """packed_obs_image(_obs_core(·)) must be byte-identical to the vmap
+    encoder `core.obs.gen_obs_image` on the same states."""
+
+    @pytest.mark.parametrize(
+        "env_id",
+        ["MiniGrid-Empty-8x8-v0", "MiniGrid-DoorKey-5x5-v0"],
+    )
+    def test_matches_gen_obs_image(self, env_id):
+        from minigrid_tpu.core.obs import gen_obs_image
+        from minigrid_tpu.ops.fused_rollout import (
+            _agent_base,
+            _obs_core,
+            _roll_to_base,
+            packed_obs_image,
+        )
+
+        env = minigrid_tpu.make(env_id)
+        cfg = env.config
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(7), 32
+        )
+        # Walk a few random steps so carried objects / door states vary.
+        key = jax.random.PRNGKey(8)
+        for _ in range(8):
+            key, k = jax.random.split(key)
+            a = jax.random.randint(k, (32,), 0, cfg.num_actions)
+            states, *_ = jax.jit(env.step_batch)(states, a)
+
+        words, regs = pack_states(states)
+        words = _roll_to_base(words, _agent_base(regs, cfg.width))
+        vw, vis = _obs_core(
+            words,
+            regs,
+            width=cfg.width,
+            height=cfg.height,
+            view=cfg.agent_view_size,
+            see_through_walls=cfg.see_through_walls,
+        )
+        got = packed_obs_image(vw, vis, cfg.agent_view_size)
+        want = jax.vmap(lambda s: gen_obs_image(s, cfg))(states)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
