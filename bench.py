@@ -103,6 +103,48 @@ def run(
     return best
 
 
+def run_train(
+    env_id: str, batch_size: int, num_steps: int, iters: int, path: str, mode: str
+) -> float:
+    """env-steps/s through the FULL training loop: packed simulation +
+    actor-critic inference + loss + optimizer update in one jitted program
+    (parallel/train.py). path='vmap' uses the PyTree train step."""
+    from minigrid_tpu.parallel.sharding import make_env_mesh, shard_states
+    from minigrid_tpu.parallel.train import (
+        build_packed_train_step,
+        build_train_step,
+        init_train_state,
+    )
+
+    env = minigrid_tpu.make(env_id)
+    mesh = make_env_mesh()
+    if path == "auto":
+        path = "packed" if fused_rollout_supported(env, mode=mode) else "vmap"
+    if path == "vmap":
+        step = build_train_step(env, mesh, num_steps=num_steps)
+    else:
+        step = build_packed_train_step(env, mesh, num_steps=num_steps, mode=mode)
+
+    key = jax.random.PRNGKey(0)
+    key, k_env, k_model = jax.random.split(key, 3)
+    ts = init_train_state(k_model, env, mesh)
+    states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, batch_size)
+    states = shard_states(states, mesh)
+
+    ts, states, metrics = step(ts, states, key)  # compile + warm up
+    float(metrics["loss"])
+
+    best = 0.0
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        ts, states, metrics = step(ts, states, key)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * num_steps / dt)
+    return best
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env-id", default="MiniGrid-Empty-8x8-v0")
@@ -119,15 +161,23 @@ def main():
         help="auto-reset mode; 'cached' unlocks the packed engines on every "
         "family except dynamicobstacles (see ops/fused_rollout.py)",
     )
+    p.add_argument(
+        "--train",
+        action="store_true",
+        help="bench the full train step (rollout + actor-critic + update) "
+        "instead of the plain rollout",
+    )
     args = p.parse_args()
 
-    steps_per_sec = run(
+    bench_fn = run_train if args.train else run
+    steps_per_sec = bench_fn(
         args.env_id, args.batch_size, args.num_steps, args.iters, args.path, args.mode
     )
+    tag = "train_" if args.train else ""
     print(
         json.dumps(
             {
-                "metric": f"env_steps_per_sec[{args.env_id} B={args.batch_size}]",
+                "metric": f"{tag}env_steps_per_sec[{args.env_id} B={args.batch_size}]",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),

@@ -54,6 +54,44 @@ def init_train_state(key: jax.Array, env: Env, mesh: Mesh) -> TrainState:
     )
 
 
+def _trajectory_loss(model, params, traj, gamma, value_coef, entropy_coef):
+    """Actor-critic loss + metrics over a `(obs, actions, logp, value,
+    reward, done)` trajectory with (T, B) leading axes. Shared verbatim by
+    the vmap and packed train steps so their updates are identical given
+    identical trajectories."""
+    obs, actions, logp_b, value, reward, done = traj
+    # Discounted returns computed backward over the scan axis (T, B).
+    not_done = 1.0 - done.astype(jnp.float32)
+
+    def disc(carry, xs):
+        r, nd = xs
+        ret = r + gamma * nd * carry
+        return ret, ret
+
+    _, returns = lax.scan(
+        disc, jnp.zeros_like(reward[0]), (reward, not_done), reverse=True
+    )
+    adv = returns - value
+    logits, value_now = model.apply(params, obs)  # re-eval for grads
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, actions[..., None], axis=-1)[..., 0]
+    entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+
+    pg_loss = -jnp.mean(logp * lax.stop_gradient(adv))
+    v_loss = jnp.mean((value_now - lax.stop_gradient(returns)) ** 2)
+    ent = jnp.mean(entropy)
+    loss = pg_loss + value_coef * v_loss - entropy_coef * ent
+    metrics = {
+        "loss": loss,
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": ent,
+        "reward_per_step": jnp.mean(reward),
+        "episodes": jnp.sum(done.astype(jnp.float32)),
+    }
+    return loss, metrics
+
+
 def build_train_step(
     env: Env,
     mesh: Mesh,
@@ -97,39 +135,131 @@ def build_train_step(
         return states, traj
 
     def loss_fn(params, states, key):
-        states, (obs, actions, logp_b, value, reward, done) = rollout(
-            params, states, key
+        states, traj = rollout(params, states, key)
+        loss, metrics = _trajectory_loss(
+            model, params, traj, gamma, value_coef, entropy_coef
         )
-        # Discounted returns computed backward over the scan axis (T, B).
-        not_done = 1.0 - done.astype(jnp.float32)
+        return loss, (states, metrics)
 
-        def disc(carry, xs):
-            r, nd = xs
-            ret = r + gamma * nd * carry
-            return ret, ret
-
-        _, returns = lax.scan(
-            disc, jnp.zeros_like(reward[0]), (reward, not_done), reverse=True
+    def train_step(train_state: TrainState, states: EnvState, key: jax.Array):
+        grads, (states, metrics) = jax.grad(loss_fn, has_aux=True)(
+            train_state.params, states, key
         )
-        adv = returns - value
-        logits, value_now = model.apply(params, obs)  # re-eval for grads
-        logp_all = jax.nn.log_softmax(logits)
-        T, B = actions.shape
-        logp = jnp.take_along_axis(logp_all, actions[..., None], axis=-1)[..., 0]
-        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+        updates, opt_state = optimizer.update(
+            grads, train_state.opt_state, train_state.params
+        )
+        params = optax.apply_updates(train_state.params, updates)
+        return TrainState(params, opt_state), states, metrics
 
-        pg_loss = -jnp.mean(logp * lax.stop_gradient(adv))
-        v_loss = jnp.mean((value_now - lax.stop_gradient(returns)) ** 2)
-        ent = jnp.mean(entropy)
-        loss = pg_loss + value_coef * v_loss - entropy_coef * ent
-        metrics = {
-            "loss": loss,
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": ent,
-            "reward_per_step": jnp.mean(reward),
-            "episodes": jnp.sum(done.astype(jnp.float32)),
-        }
+    shard_env = env_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, shard_env, rep),
+        out_shardings=(rep, shard_env, rep),
+    )
+
+
+def build_packed_train_step(
+    env: Env,
+    mesh: Mesh,
+    num_steps: int,
+    mode: str = "regen",
+    gamma: float = 0.99,
+    entropy_coef: float = 0.01,
+    value_coef: float = 0.5,
+):
+    """Policy-in-the-loop training on the packed-lane engine.
+
+    Same contract and update math as `build_train_step` (they share
+    `_trajectory_loss`, and on supported envs produce IDENTICAL updates —
+    asserted in tests/test_parallel.py) but the environment runs in the
+    packed `(H·W, B)` / `(NUM_REGS, B)` layout of `ops/fused_rollout.py`:
+    per step the packed transition produces the egocentric view directly,
+    `packed_obs_image` lifts it to the `(B, V, V, 3)` policy input, the
+    actor-critic samples the next actions, and everything — simulation,
+    inference, loss, optimizer — stays in ONE jitted program with the env
+    dimension on the TPU vector lanes. Supported on the same families as
+    `fused_rollout_supported(env, mode=mode)`.
+    """
+    import functools
+
+    from minigrid_tpu.ops.fused_rollout import (
+        _finish,
+        _matmul_rows,
+        _obs_core,
+        _packed_hook,
+        _prepare_packed,
+        _step_core,
+        fused_rollout_supported,
+        packed_obs_image,
+    )
+
+    if not fused_rollout_supported(env, mode=mode):
+        raise ValueError(
+            f"packed train step (mode={mode!r}) does not support "
+            f"{env.env_id!r}; use build_train_step"
+        )
+    model = make_model(env)
+    optimizer = make_optimizer()
+    cfg = env.config
+    v = cfg.agent_view_size
+    hook, remap_action = _packed_hook(env)
+    geom = dict(
+        width=cfg.width,
+        height=cfg.height,
+        view=v,
+        see_through_walls=cfg.see_through_walls,
+        row_reader=_matmul_rows,
+    )
+    step_math = functools.partial(
+        _step_core,
+        max_steps=cfg.max_steps,
+        hook=hook,
+        remap_action=remap_action,
+        with_obs=True,
+        **geom,
+    )
+    obs_math = functools.partial(_obs_core, **geom)
+
+    def rollout(params, states: EnvState, key: jax.Array):
+        words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states)
+        img0 = packed_obs_image(*obs_math(words0, regs0), v)
+        b = img0.shape[0]
+        csum0 = jnp.zeros((1, b), jnp.int32)
+
+        def body(carry, key_t):
+            words, regs, img, csum = carry
+            logits, value = model.apply(params, img)
+            actions = jax.random.categorical(key_t, logits)
+            logp = jax.nn.log_softmax(logits)[jnp.arange(b), actions]
+            words2, regs2, reward, done, obs_sum, vw, vis = step_math(
+                words, regs, actions[None, :].astype(jnp.int32),
+                tmpl_words, tmpl_regs,
+            )
+            img2 = packed_obs_image(vw, vis, v)
+            return (words2, regs2, img2, csum + obs_sum), (
+                img, actions, logp, value, reward[0], done[0],
+            )
+
+        keys = jax.random.split(key, num_steps)
+        (words_f, regs_f, _, csum), traj = lax.scan(
+            body, (words0, regs0, img0, csum0), keys
+        )
+        reward_t, done_t = traj[4], traj[5]
+        states_f, _ = _finish(
+            env, mode, states, num_steps, words_f, regs_f,
+            jnp.sum(reward_t, axis=0),
+            jnp.sum(done_t.astype(jnp.int32), axis=0),
+            csum[0],
+        )
+        return states_f, traj
+
+    def loss_fn(params, states, key):
+        states, traj = rollout(params, states, key)
+        loss, metrics = _trajectory_loss(
+            model, params, traj, gamma, value_coef, entropy_coef
+        )
         return loss, (states, metrics)
 
     def train_step(train_state: TrainState, states: EnvState, key: jax.Array):

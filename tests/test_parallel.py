@@ -153,3 +153,53 @@ class TestShardedPackedRollout:
         )
         _, m = build_sharded_rollout(env, T, mesh, backend="auto")(key, states)
         assert int(m.total_steps) == B * T
+
+
+class TestPackedTrainStep:
+    """parallel/train.py build_packed_train_step: policy-in-the-loop
+    training on the packed engine vs the vmap train step."""
+
+    def test_matches_vmap_train_step(self):
+        """Identical obs (byte-proven) → identical logits → identical
+        sampled actions under the same keys → identical trajectories →
+        identical loss/grads/updated params, to float32 determinism."""
+        from minigrid_tpu.parallel.train import (
+            build_packed_train_step,
+            build_train_step,
+            init_train_state,
+        )
+
+        env = env8()
+        mesh = make_env_mesh()
+        B, T = 64, 8
+        key = jax.random.PRNGKey(0)
+        key, k_env, k_model = jax.random.split(key, 3)
+        ts0 = init_train_state(k_model, env, mesh)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, B)
+        states = shard_states(states, mesh)
+
+        vmap_step = build_train_step(env, mesh, num_steps=T)
+        packed_step = build_packed_train_step(env, mesh, num_steps=T)
+
+        ts_v, states_v, m_v = vmap_step(ts0, states, key)
+        ts_p, states_p, m_p = packed_step(ts0, states, key)
+
+        for k in m_v:
+            np.testing.assert_allclose(
+                float(m_p[k]), float(m_v[k]), rtol=1e-5, atol=1e-6, err_msg=k
+            )
+        for a, b in zip(jax.tree.leaves(ts_p.params), jax.tree.leaves(ts_v.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        # Env states after the rollout match exactly (integer arrays).
+        for a, b in zip(jax.tree.leaves(states_p), jax.tree.leaves(states_v)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_unsupported_family_raises(self):
+        from minigrid_tpu.parallel.train import build_packed_train_step
+
+        env = minigrid_tpu.make("MiniGrid-Dynamic-Obstacles-5x5-v0")
+        mesh = make_env_mesh()
+        with pytest.raises(ValueError):
+            build_packed_train_step(env, mesh, num_steps=4, mode="cached")
