@@ -136,6 +136,11 @@ def build_train_step(
 
     def loss_fn(params, states, key):
         states, traj = rollout(params, states, key)
+        # The rollout is inference-only: every traj leaf is either integer
+        # data or consumed under stop_gradient in the loss, so cut the
+        # backward pass through the scan explicitly — XLA then frees the
+        # per-step activations instead of saving T of them for grads.
+        traj = lax.stop_gradient(traj)
         loss, metrics = _trajectory_loss(
             model, params, traj, gamma, value_coef, entropy_coef
         )
@@ -257,6 +262,11 @@ def build_packed_train_step(
 
     def loss_fn(params, states, key):
         states, traj = rollout(params, states, key)
+        # The rollout is inference-only: every traj leaf is either integer
+        # data or consumed under stop_gradient in the loss, so cut the
+        # backward pass through the scan explicitly — XLA then frees the
+        # per-step activations instead of saving T of them for grads.
+        traj = lax.stop_gradient(traj)
         loss, metrics = _trajectory_loss(
             model, params, traj, gamma, value_coef, entropy_coef
         )
