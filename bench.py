@@ -120,8 +120,13 @@ def run_train(
     mesh = make_env_mesh()
     if path == "auto":
         path = "packed" if fused_rollout_supported(env, mode=mode) else "vmap"
+    if path == "pallas":
+        # No Pallas train engine exists; the packed XLA train step is the
+        # fast path. Say so instead of silently mislabeling the metric.
+        print("# --train --path pallas: using the packed XLA train step")
+        path = "packed"
     if path == "vmap":
-        step = build_train_step(env, mesh, num_steps=num_steps)
+        step = build_train_step(env, mesh, num_steps=num_steps, mode=mode)
     else:
         step = build_packed_train_step(env, mesh, num_steps=num_steps, mode=mode)
 

@@ -42,6 +42,11 @@ from minigrid_tpu.core.constants import (
 from minigrid_tpu.core.state import EnvState
 from minigrid_tpu.envs.registry import make, registry, register, env_list
 
+# Eagerly load the env zoo so `import minigrid_tpu` both fills the internal
+# registry and registers every id into gymnasium's global registry — the
+# reference's registration-by-import contract (SURVEY.md §2.7).
+import minigrid_tpu.envs  # noqa: E402,F401
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -33,7 +33,6 @@ class MiniGridGymEnv(gymnasium.Env):
     """
 
     metadata = {"render_modes": ["rgb_array", "ansi"], "render_fps": 10}
-    reward_range = (0.0, 1.0)
 
     def __init__(self, env: Env, render_mode: Optional[str] = None):
         from minigrid_tpu.core.state import Actions
@@ -41,6 +40,23 @@ class MiniGridGymEnv(gymnasium.Env):
         self.actions = Actions  # reference `self.actions` (minigrid.py:~700)
         self.fenv = env
         self.render_mode = render_mode
+        # Per-env reward range: DynamicObstacles pays -1 on collision
+        # (reference dynamicobstacles.py:~30 sets reward_range = (-1, 1));
+        # every other env rewards in [0, 1].
+        self.reward_range = (
+            (-1.0, 1.0) if env.config.family == "dynamicobstacles" else (0.0, 1.0)
+        )
+        # `spec`-like metadata the reference exposes through gym's registry
+        # (register.py:~5-25). `gymnasium.make` overwrites this with the real
+        # registry spec; direct construction gets the same fields here.
+        self.spec = gymnasium.envs.registration.EnvSpec(
+            id=env.env_id,
+            entry_point="minigrid_tpu.compat.gym_env:_gymnasium_entry_point",
+            reward_threshold=0.95,
+            max_episode_steps=env.config.max_steps,
+            disable_env_checker=True,
+            kwargs={"env_id": env.env_id},
+        )
         v = env.config.agent_view_size
         self.action_space = spaces.Discrete(env.config.num_actions)
         self.observation_space = spaces.Dict(
@@ -263,3 +279,40 @@ def gym_make(env_id: str, render_mode: Optional[str] = None, old_api: bool = Fal
     """`gym.make` equivalent resolving against our registry."""
     env = MiniGridGymEnv(minigrid_tpu.make(env_id), render_mode=render_mode)
     return OldGymShim(env) if old_api else env
+
+
+def _gymnasium_entry_point(env_id: str, render_mode: Optional[str] = None, **kwargs):
+    """Entry point `gymnasium.make` resolves registered ids through."""
+    return MiniGridGymEnv(minigrid_tpu.make(env_id), render_mode=render_mode)
+
+
+def register_all_gymnasium() -> None:
+    """Register every env id into gymnasium's GLOBAL registry.
+
+    The reference registers each id into the gym global registry at import
+    (register.py:~5-25, fired by the envs/__init__.py star-import), so a
+    reference user's first line — `gym.make("MiniGrid-Empty-8x8-v0")` —
+    works after `import gym_minigrid`. This restores that contract for
+    gymnasium: called from `minigrid_tpu.envs.__init__` after the internal
+    registry is built. Idempotent (re-imports skip already-registered ids).
+
+    `max_episode_steps` stays None because truncation is internal to the
+    engine (the reference conflates max-step timeout into `done`,
+    minigrid.py:~1150) — a TimeLimit wrapper would double-count.
+    """
+    import gymnasium as _gym
+
+    from minigrid_tpu.envs.registry import env_list as _ids
+    from minigrid_tpu.envs.registry import registry as _registry
+
+    for env_id in _ids:
+        if env_id in _gym.registry:
+            continue
+        _gym.register(
+            id=env_id,
+            entry_point="minigrid_tpu.compat.gym_env:_gymnasium_entry_point",
+            reward_threshold=_registry[env_id].reward_threshold,
+            max_episode_steps=None,
+            disable_env_checker=True,
+            kwargs={"env_id": env_id},
+        )

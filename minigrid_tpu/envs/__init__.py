@@ -10,4 +10,11 @@ from minigrid_tpu.envs.registry import env_list, make, register, registry
 # Family modules (each registers its env ids at import time).
 from minigrid_tpu.envs import _register_all  # noqa: F401
 
+# Mirror the reference's side effect of pushing every id into the GLOBAL
+# gym registry (register.py:~5-25): `gymnasium.make("MiniGrid-*-v0")` works
+# as soon as this package is imported.
+from minigrid_tpu.compat.gym_env import register_all_gymnasium
+
+register_all_gymnasium()
+
 __all__ = ["env_list", "make", "register", "registry"]

@@ -1,7 +1,7 @@
 """Multi-chip scaling for the packed-lane rollout engines.
 
 The packed rollouts (`ops/fused_rollout.py`) put the env batch in the TPU
-lane dimension — `(H·W, B)` int32 grids, `(8, B)` registers. Scaling them
+lane dimension — `(H·W, B)` int32 grids, `(NUM_REGS, B)` registers. Scaling them
 across a device mesh is pure data parallelism over lanes: each device runs
 the identical single-chip program on its `B / n_env` slice of the batch and
 the only cross-device traffic is one `psum` of the four scalar metrics at
@@ -64,6 +64,8 @@ def build_sharded_rollout(
     XLA twin elsewhere when the env supports it, falling back to the vmap
     engine (which supports every family) otherwise.
     """
+    if mode not in ("regen", "cached"):
+        raise ValueError(f"unknown autoreset mode {mode!r}")
     if backend == "auto":
         backend = _pick_backend(env, mode)
     if backend == "pallas":
@@ -71,8 +73,7 @@ def build_sharded_rollout(
     elif backend == "packed":
         inner = build_packed_xla_rollout(env, num_steps, mode=mode)
     elif backend == "vmap":
-        autoreset_mode = mode if mode in ("regen", "cached") else "regen"
-        inner = build_rollout(env, num_steps, autoreset_mode=autoreset_mode)
+        inner = build_rollout(env, num_steps, autoreset_mode=mode)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 

@@ -99,12 +99,14 @@ def build_train_step(
     gamma: float = 0.99,
     entropy_coef: float = 0.01,
     value_coef: float = 0.5,
+    mode: str = "regen",
 ):
     """Returns jitted `train_step(train_state, states, key) ->
-    (train_state, states, metrics)` with mesh-aware shardings."""
+    (train_state, states, metrics)` with mesh-aware shardings. `mode` is
+    the auto-reset mode ("regen"/"cached", core/autoreset.py)."""
     model = make_model(env)
     optimizer = make_optimizer()
-    auto_step = jax.vmap(make_autoreset_step(env))
+    auto_step = jax.vmap(make_autoreset_step(env, mode=mode))
     batched_obs = jax.vmap(lambda s: gen_obs_image(s, env.config))
 
     def rollout(params, states: EnvState, key: jax.Array):
