@@ -150,6 +150,63 @@ def run_train(
     return best
 
 
+def run_mixed(
+    env_ids: str, batch_size: int, num_steps: int, iters: int, path: str, mode: str
+) -> float:
+    """env-steps/s on a heterogeneous batch (BASELINE config #5): the batch
+    splits evenly across the comma-separated families. path='vmap' steps the
+    lax.switch MixedEnv; otherwise one packed lane block per family."""
+    from minigrid_tpu.parallel.mixed import (
+        MixedEnv,
+        build_mixed_rollout,
+        build_packed_mixed_rollout,
+    )
+    from minigrid_tpu.parallel.sharding import make_env_mesh, shard_states
+
+    ids = [e.strip() for e in env_ids.split(",")]
+    mesh = make_env_mesh()
+    key = jax.random.PRNGKey(0)
+    key, k_reset = jax.random.split(key)
+
+    if path == "vmap":
+        menv = MixedEnv.create(ids)
+        member_ids = jnp.arange(batch_size, dtype=jnp.int32) % len(ids)
+        states, _ = jax.jit(menv.reset_batch)(k_reset, member_ids)
+        states = shard_states(states, mesh)
+        rollout = build_mixed_rollout(menv, num_steps, mesh)
+    else:
+        per = batch_size // len(ids)
+        states = tuple(
+            shard_states(
+                jax.jit(
+                    minigrid_tpu.make(e).reset_batch, static_argnums=1
+                )(jax.random.fold_in(k_reset, i), per)[0],
+                mesh,
+            )
+            for i, e in enumerate(ids)
+        )
+        backend = "pallas" if jax.default_backend() == "tpu" else "packed"
+        rollout = build_packed_mixed_rollout(
+            ids, num_steps, mesh=mesh, mode=mode, backend=backend
+        )
+        batch_size = per * len(ids)
+
+    def fence(metrics):
+        return float(metrics.total_reward) + int(metrics.total_steps)
+
+    states, metrics = rollout(key, states)  # compile + warm up
+    fence(metrics)
+    best = 0.0
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        states, metrics = rollout(key, states)
+        fence(metrics)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * num_steps / dt)
+    return best
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env-id", default="MiniGrid-Empty-8x8-v0")
@@ -172,7 +229,35 @@ def main():
         help="bench the full train step (rollout + actor-critic + update) "
         "instead of the plain rollout",
     )
+    p.add_argument(
+        "--mixed",
+        default=None,
+        metavar="ID1,ID2,...",
+        help="bench a heterogeneous batch split evenly across these env ids "
+        "(BASELINE config #5); --path vmap = lax.switch MixedEnv, otherwise "
+        "one packed lane block per family",
+    )
     args = p.parse_args()
+
+    if args.mixed:
+        steps_per_sec = run_mixed(
+            args.mixed, args.batch_size, args.num_steps, args.iters,
+            args.path, args.mode,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"mixed_env_steps_per_sec[{args.mixed} "
+                    f"B={args.batch_size}]",
+                    "value": round(steps_per_sec, 1),
+                    "unit": "steps/s",
+                    "vs_baseline": round(
+                        steps_per_sec / REFERENCE_STEPS_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+        return
 
     bench_fn = run_train if args.train else run
     steps_per_sec = bench_fn(

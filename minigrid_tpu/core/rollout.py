@@ -30,6 +30,11 @@ class RolloutMetrics(NamedTuple):
     # carry so the observation encoder is a live data dependency (otherwise
     # XLA dead-code-eliminates obs under a random policy and benchmarks
     # measure a step-only program)
+    reset_overlaps: jnp.ndarray = 0  # () int32 — count of
+    # (lane, chunk) pairs where the packed regen engine saw ≥2 resets within
+    # one template-refresh chunk (the 2nd+ reset reused the chunk's layout —
+    # ops/fused_rollout.py). 0 ⇒ the rollout is byte-exact vs this engine;
+    # always 0 here (the vmap engine regenerates every step).
 
 
 class Transition(NamedTuple):
@@ -87,6 +92,7 @@ def build_rollout(
             total_reward=metrics.total_reward + jnp.sum(reward),
             total_steps=metrics.total_steps + done.shape[0],
             obs_checksum=metrics.obs_checksum + jnp.sum(next_img.astype(jnp.int32)),
+            reset_overlaps=metrics.reset_overlaps,
         )
         out = Transition(obs_img, actions, reward, done) if collect else None
         return (states, next_img, metrics), out
@@ -98,6 +104,7 @@ def build_rollout(
             total_reward=jnp.zeros((), jnp.float32),
             total_steps=jnp.zeros((), jnp.int32),
             obs_checksum=jnp.zeros((), jnp.int32),
+            reset_overlaps=jnp.zeros((), jnp.int32),
         )
         obs0 = batched_obs(states)
         (states, _, metrics), traj = lax.scan(body, (states, obs0, metrics0), keys)

@@ -9,6 +9,19 @@ costs reward −1 and ends the episode. Action space restricted to
 
 Obstacle coordinates live in `aux[0:2n]` so the random walk is 2n scalar
 reads instead of a grid scan.
+
+The walk's randomness is COUNTER-BASED (core/prng.py): draw i at
+in-episode step t consumes `threefry2x32(state.rng, t·n + i)`, and
+`state.rng` is never advanced by the transition. This keeps the rng leaf
+episode-stationary (so the packed engines' template auto-reset and regen
+chain replay work unchanged) and lets the packed pre-hook
+(`ops/packed_hooks.py`) reproduce the vmap engine's stream bit-for-bit
+from its in-kernel register file. The candidate selection
+(`select_walk_target`) is shared by both engines for the same reason.
+Distribution parity with the reference's sequential
+`place_obj(top=pos-(1,1), size=(3,3))` rejection loop
+(dynamicobstacles.py:~60-95) holds because rejection sampling over a
+uniform proposal is uniform over the accepted set.
 """
 
 from __future__ import annotations
@@ -18,7 +31,7 @@ import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core import grid as G
-from minigrid_tpu.core import sampling
+from minigrid_tpu.core import prng, sampling
 from minigrid_tpu.core.state import Actions, EnvConfig, EnvState, empty_state
 from minigrid_tpu.core.step import StepResult, base_step
 from minigrid_tpu.envs import missions
@@ -26,6 +39,37 @@ from minigrid_tpu.envs import missions
 MISSION = missions.register_template("get to the green goal square")
 
 BALL_CELL = (C.BALL, C.BLUE, 0, 0, 0)
+
+# 3×3 neighborhood in row-major (dy, dx) order — the candidate order both
+# engines' selection math indexes into.
+WALK_OFFSETS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def select_walk_target(valid9, u31, xs9, ys9, ox, oy):
+    """Uniform pick among valid 3×3 candidates; stay put when boxed in.
+
+    `valid9/xs9/ys9` are 9-element sequences of same-shaped integer/bool
+    arrays in `WALK_OFFSETS` order; `u31` supplies 31 uniform bits (the
+    `u % count` draw has negligible modulo bias: count ≤ 9 ≪ 2³¹). Pure
+    elementwise math — runs identically under vmap (scalars) and on packed
+    `(1, B)` lane rows inside the Pallas kernel; SHARED so the engines
+    cannot drift.
+    """
+    count = valid9[0].astype(jnp.int32)
+    for v in valid9[1:]:
+        count = count + v.astype(jnp.int32)
+    r = u31 % jnp.maximum(count, 1)
+    movable = count > 0
+    nx = jnp.zeros_like(ox)
+    ny = jnp.zeros_like(oy)
+    cum = jnp.zeros_like(count)
+    for j in range(9):
+        vj = valid9[j].astype(jnp.int32)
+        picked = (vj > 0) & (cum == r)
+        nx = jnp.where(picked, xs9[j], nx)
+        ny = jnp.where(picked, ys9[j], ny)
+        cum = cum + vj
+    return jnp.where(movable, nx, ox), jnp.where(movable, ny, oy)
 
 
 def generate(key: jax.Array, config: EnvConfig) -> EnvState:
@@ -75,24 +119,36 @@ def step(state: EnvState, action: jnp.ndarray, config: EnvConfig) -> StepResult:
 
     # Sequential random walk: each obstacle resamples within its 3×3 box
     # among free cells (excluding the agent), staying put when boxed in.
+    # Counter-based randomness keyed on (state.rng, step_count·n + i); the
+    # rng leaf is NOT advanced (see module docstring).
     grid = state.grid
     aux = state.aux
-    key = state.rng
+    k0, k1 = prng.key_words(state.rng)
     h, w = config.height, config.width
-    for i in range(config.n_obstacles):
-        key, sub = jax.random.split(key)
+    n = config.n_obstacles
+    for i in range(n):
+        u = prng.hash_u31(k0, k1, state.step_count * n + i)
         ox, oy = aux[2 * i], aux[2 * i + 1]
-        box = sampling.rect_mask(h, w, ox - 1, oy - 1, 3, 3)
-        valid = box & sampling.free_cell_mask(grid, state.agent_pos)
-        nx, ny = sampling.sample_cell(sub, valid)
-        movable = jnp.any(valid)
-        nx = jnp.where(movable, nx, ox)
-        ny = jnp.where(movable, ny, oy)
+        valid9, xs9, ys9 = [], [], []
+        for dy, dx in WALK_OFFSETS:
+            nx, ny = ox + dx, oy + dy
+            nxc = jnp.clip(nx, 0, w - 1)
+            nyc = jnp.clip(ny, 0, h - 1)
+            inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+            free = (
+                inb
+                & (grid[nyc, nxc, 0] == C.EMPTY)
+                & ~((nx == state.agent_pos[0]) & (ny == state.agent_pos[1]))
+            )
+            valid9.append(free)
+            xs9.append(nx)
+            ys9.append(ny)
+        nx, ny = select_walk_target(valid9, u, xs9, ys9, ox, oy)
         grid = G.set_cell(grid, ox, oy, G.EMPTY_CELL)
         grid = G.set_cell(grid, nx, ny, BALL_CELL)
         aux = aux.at[2 * i].set(nx).at[2 * i + 1].set(ny)
 
-    moved = state.replace(grid=grid, aux=aux, rng=key)
+    moved = state.replace(grid=grid, aux=aux)
     res = base_step(moved, action, config)
 
     collided = (action == Actions.forward) & not_clear

@@ -38,13 +38,21 @@ Semantics are the base transition kernel (`core/step.py`, mirroring
 `core/obs.py`/`core/vision.py` (gen_obs, minigrid.py:~1162-1215), and
 template auto-reset. Two modes, matching `core.autoreset`:
 
-  * mode="regen"  — exact for deterministic-layout families (fixed Empty /
-    DistShift variants): the regenerated layout is identical to the
-    template, and the per-env rng chain is replayed exactly on the host
-    side from the per-env episode count (see `_replay_rng_chain`).
-  * mode="cached" — exact for EVERY family whose transition is the base
-    step kernel (no per-family step override): byte-for-byte
-    `core.rollout.build_rollout(..., autoreset_mode="cached")`.
+  * mode="regen"  — reference reset semantics (fresh layout per episode,
+    minigrid.py:~722-748). Deterministic-layout families (fixed Empty /
+    DistShift) reset to the static template (identical by construction)
+    with the per-env rng chain replayed host-side (`_replay_rng_chain`);
+    random-layout families run the chunked template-refresh scheme
+    (`_build_chunked_regen`): every reset consumes a pre-generated fresh
+    layout, refreshed per `regen_chunk` steps — byte-exact vs the vmap
+    regen path whenever `metrics.reset_overlaps == 0`.
+  * mode="cached" — every reset replays ONE pinned layout per lane:
+    byte-for-byte `core.rollout.build_rollout(..., autoreset_mode="cached")`.
+
+Both modes cover all 21 families: the base step kernel, ten post-hook
+families, and DynamicObstacles via a PRE-step hook whose counter-based
+obstacle walk (`core/prng.py`) reproduces the vmap engine's stream
+bit-for-bit from the in-register rng key.
 
 The occlusion flood (`Grid.process_vis`, minigrid.py:~620-640) is computed
 on V-bit *bitmasks*: each egocentric view row lives in the low V bits of one
@@ -84,18 +92,21 @@ from minigrid_tpu.core.step import base_step
 from minigrid_tpu.envs.base import Env
 
 # Register-file row layout (the `(NUM_REGS, B)` int32 block): 8 scalars,
-# then the per-env aux vector and the integer mission encoding. aux/mission
-# are inert during an episode but change on cached-mode auto-reset (the
-# pinned layout's target ids differ from the live episode's for
-# random-layout families), so they ride in the register file and reset
-# through the same done-select as everything else.
+# then the per-env aux vector, the integer mission encoding, and the two
+# words of the per-env PRNG key. aux/mission/rng are inert during an
+# episode (for rng: stochastic-transition families draw counter-based bits
+# keyed on it without mutating it) but change on auto-reset (the fresh
+# layout's target ids / reset key differ from the live episode's), so they
+# ride in the register file and reset through the same done-select as
+# everything else.
 R_X, R_Y, R_DIR, R_CT, R_CC, R_CCT, R_CCC, R_SC = range(8)
 R_AUX = 8  # ..R_AUX+AUX_LEN
 from minigrid_tpu.core.state import AUX_LEN as _AUX_LEN  # noqa: E402
 from minigrid_tpu.core.state import MISSION_LEN as _MISSION_LEN  # noqa: E402
 
 R_MISSION = R_AUX + _AUX_LEN  # ..R_MISSION+MISSION_LEN
-NUM_REGS = R_MISSION + _MISSION_LEN
+R_RNG = R_MISSION + _MISSION_LEN  # ..R_RNG+2 (uint32 key bit-cast to int32)
+NUM_REGS = R_RNG + 2
 
 _WALL_WORD = C.WALL | (C.GREY << 4)  # OOB view cells read as grey walls
 _EMPTY_WORD = C.EMPTY
@@ -139,28 +150,35 @@ def pack_states(states: EnvState) -> Tuple[jnp.ndarray, jnp.ndarray]:
             ),
             states.aux.astype(jnp.int32).T,
             states.mission.astype(jnp.int32).T,
+            key_rows(states.rng),
         ]
     )  # (NUM_REGS, B)
     return words, regs
 
 
-def unpack_states(
-    words: jnp.ndarray, regs: jnp.ndarray, template: EnvState, config: EnvConfig
-) -> EnvState:
-    """Inverse of `pack_states`.
+def key_rows(rng: jnp.ndarray) -> jnp.ndarray:
+    """`(B, 2)` uint32 PRNG keys → `(2, B)` int32 register rows (bit cast)."""
+    return lax.bitcast_convert_type(rng, jnp.int32).T
 
-    All kernel-evolved leaves (grid / pos / dir / carrying / step_count /
-    aux / mission) are rebuilt from the packed arrays; only rng passes
-    through from `template`, which callers should take from the *input*
-    states (not a freshly generated batch) so it keeps its identity.
-    """
+
+def rows_key(rows: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `key_rows`."""
+    return lax.bitcast_convert_type(rows.T, jnp.uint32)
+
+
+def unpack_states(
+    words: jnp.ndarray, regs: jnp.ndarray, config: EnvConfig
+) -> EnvState:
+    """Inverse of `pack_states` — every `EnvState` leaf (including the rng
+    key, which rides in the register file) is rebuilt from the packed
+    arrays."""
     hw, b = words.shape
     w = words.T.reshape(b, config.height, config.width)
     grid = jnp.stack(
         [w & 15, (w >> 4) & 15, (w >> 8) & 15, (w >> 12) & 15, (w >> 16) & 15],
         axis=-1,
     ).astype(jnp.uint8)
-    return template.replace(
+    return EnvState(
         grid=grid,
         agent_pos=jnp.stack([regs[R_X], regs[R_Y]], axis=-1),
         agent_dir=regs[R_DIR],
@@ -168,8 +186,9 @@ def unpack_states(
             [regs[R_CT], regs[R_CC], regs[R_CCT], regs[R_CCC]], axis=-1
         ).astype(jnp.uint8),
         step_count=regs[R_SC],
-        aux=regs[R_AUX : R_AUX + _AUX_LEN].T,
+        rng=rows_key(regs[R_RNG : R_RNG + 2]),
         mission=regs[R_MISSION : R_MISSION + _MISSION_LEN].T,
+        aux=regs[R_AUX : R_AUX + _AUX_LEN].T,
     )
 
 
@@ -332,6 +351,7 @@ def _step_core(
     row_reader=_sliced_rows,
     hook=None,  # packed_hooks.HOOKS entry for this family (or None)
     remap_action=None,  # packed_hooks.ACTION_REMAPS entry (or None)
+    pre_hook=None,  # built packed_hooks.PRE_HOOK_FACTORIES entry (or None)
     with_obs=False,  # also return the post-step (vw, vis) view
 ):
     """One packed transition + auto-reset + obs checksum.
@@ -355,6 +375,19 @@ def _step_core(
 
     iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
 
+    a_orig = a
+    if remap_action is not None:
+        a = remap_action(a)
+
+    # Family PRE-hook (packed_hooks.py): stochastic pre-step grid mutation
+    # (DynamicObstacles' obstacle walk), exactly where the vmap engine's
+    # per-family `step` mutates the state before calling `base_step`. The
+    # stash (e.g. pre-walk front-cell clearance) is handed to the
+    # post-hook.
+    stash = None
+    if pre_hook is not None:
+        words, regs, stash = pre_hook(words, regs)
+
     x = regs[R_X : R_X + 1, :]
     y = regs[R_Y : R_Y + 1, :]
     d = regs[R_DIR : R_DIR + 1, :]
@@ -363,10 +396,6 @@ def _step_core(
     cct = regs[R_CCT : R_CCT + 1, :]
     ccc = regs[R_CCC : R_CCC + 1, :]
     sc = regs[R_SC : R_SC + 1, :]
-
-    a_orig = a
-    if remap_action is not None:
-        a = remap_action(a)
 
     # ---- transition (core/step.py semantics, minigrid.py:~1087-1160) ------
     dirx = (d == 0).astype(jnp.int32) - (d == 2).astype(jnp.int32)
@@ -472,6 +501,7 @@ def _step_core(
                 aux=regs[R_AUX : R_AUX + _AUX_LEN, :],
                 read_pre=functools.partial(_read_abs, words),
                 read_post=functools.partial(_read_abs, words1),
+                stash=stash,
             )
         )
 
@@ -649,6 +679,7 @@ def _rollout_kernel(
     see_through_walls: bool,
     hook=None,
     remap_action=None,
+    pre_hook=None,
 ):
     # First step-chunk for this batch block: load state, zero accumulators.
     @pl.when(pl.program_id(1) == 0)
@@ -677,6 +708,7 @@ def _rollout_kernel(
             see_through_walls=see_through_walls,
             hook=hook,
             remap_action=remap_action,
+            pre_hook=pre_hook,
         )
         words_s[:] = words2
         regs_s[:] = regs2
@@ -711,14 +743,23 @@ def _is_base_step(env: Env) -> bool:
 
 
 def _packed_hook(env: Env):
-    """(hook, remap_action) for this env's transition, or (None, None) for
-    the base step kernel. Raises KeyError-free: an unknown transition simply
-    has no packed support (see `fused_rollout_supported`)."""
+    """(hook, remap_action, pre_hook) for this env's transition, or all-None
+    for the base step kernel. Raises KeyError-free: an unknown transition
+    simply has no packed support (see `fused_rollout_supported`)."""
     if _is_base_step(env):
-        return None, None
-    from minigrid_tpu.ops.packed_hooks import ACTION_REMAPS, HOOKS
+        return None, None, None
+    from minigrid_tpu.ops.packed_hooks import (
+        ACTION_REMAPS,
+        HOOKS,
+        PRE_HOOK_FACTORIES,
+    )
 
-    return HOOKS.get(env.transition), ACTION_REMAPS.get(env.transition)
+    factory = PRE_HOOK_FACTORIES.get(env.transition)
+    return (
+        HOOKS.get(env.transition),
+        ACTION_REMAPS.get(env.transition),
+        factory(env.config) if factory is not None else None,
+    )
 
 
 def _has_packed_step(env: Env) -> bool:
@@ -729,31 +770,42 @@ def _has_packed_step(env: Env) -> bool:
     return env.transition in HOOKS
 
 
+def _regen_is_static(env: Env) -> bool:
+    """True iff template auto-reset alone reproduces regen semantics for
+    `env` — the layout is key-independent (fixed Empty variants, DistShift),
+    so every reset regenerates the identical grid and no per-chunk template
+    refresh is needed."""
+    cfg = env.config
+    return (
+        _is_base_step(env)
+        and cfg.family in _DETERMINISTIC_LAYOUT
+        and (cfg.family != "empty" or cfg.agent_start_pos is not None)
+    )
+
+
 def fused_rollout_supported(
     env: Env, batch_size: Optional[int] = None, mode: str = "regen"
 ) -> bool:
     """True iff the packed rollouts (`build_fused_rollout` /
-    `build_packed_xla_rollout`) are exact for `env` under `mode`.
+    `build_packed_xla_rollout`) support `env` under `mode`.
 
-    mode="regen": deterministic-layout families only (Empty fixed variants,
-    DistShift). mode="cached": every family whose transition is the base
-    step kernel or has a registered packed post-hook (packed_hooks.py) —
-    20 of the 21 families; only dynamicobstacles (stochastic pre-step grid
-    mutation) stays on the vmap engine.
+    Both modes cover every family whose transition is the base step kernel
+    or has a registered packed hook (packed_hooks.py). mode="cached" is
+    byte-exact vs `build_rollout(..., autoreset_mode="cached")`; for
+    mode="regen", deterministic-layout families are exact via the static
+    template, and random-layout families run the chunked template-refresh
+    scheme (fresh layout per reset, pre-generated once per `regen_chunk`
+    steps) — exact whenever no lane resets twice within one chunk, which
+    the `reset_overlaps` metric counts (0 ⇒ byte-exact; `regen_chunk=1`
+    forces exactness unconditionally).
     """
     cfg = env.config
     if not _has_packed_step(env):
         return False
-    if mode == "regen":
-        ok = _is_base_step(env) and cfg.family in _DETERMINISTIC_LAYOUT and (
-            cfg.family != "empty" or cfg.agent_start_pos is not None
-        )
-    elif mode == "cached":
-        ok = True
-    else:
+    if mode not in ("regen", "cached"):
         return False
     # VMEM sizing: the auto-derived lane block must be viable (>= 128).
-    ok = ok and _auto_lane_block(cfg.width * cfg.height, 1024) >= 128
+    ok = _auto_lane_block(cfg.width * cfg.height, 1024) >= 128
     if batch_size is not None:
         ok = ok and batch_size % 128 == 0
     return ok
@@ -770,15 +822,9 @@ def _auto_lane_block(hw: int, step_chunk: int) -> int:
     return (max_lanes // 128) * 128
 
 
-def _replay_rng_chain(env: Env, rng0: jnp.ndarray, n_resets: jnp.ndarray):
-    """Apply the regen-mode rng chain `rng <- generate(rng).rng` n times.
-
-    The XLA regen auto-reset path (core/autoreset.py) stores
-    `generate(state.rng).rng` on every reset; replaying that chain from the
-    per-env episode count reproduces the exact final keys. Only the rng leaf
-    of `generate` is consumed, so XLA dead-code-eliminates the layout work.
-    """
-    step_rng = jax.vmap(lambda k: env.generate(k, env.config).rng)
+def _replay_rng_chain_fn(step_rng, rng0: jnp.ndarray, n_resets: jnp.ndarray):
+    """Apply the regen-mode rng chain `rng <- step_rng(rng)` n times per lane
+    (bounded while_loop; iterates max(n_resets) times)."""
 
     def cond(carry):
         return jnp.any(carry[1] > 0)
@@ -793,23 +839,55 @@ def _replay_rng_chain(env: Env, rng0: jnp.ndarray, n_resets: jnp.ndarray):
     return lax.while_loop(cond, body, (rng0, n_resets))[0]
 
 
+def _replay_rng_chain(env: Env, rng0: jnp.ndarray, n_resets: jnp.ndarray):
+    """Apply the regen-mode rng chain `rng <- generate(rng).rng` n times.
+
+    The XLA regen auto-reset path (core/autoreset.py) stores
+    `generate(state.rng).rng` on every reset; replaying that chain from the
+    per-env episode count reproduces the exact final keys. Only the rng leaf
+    of `generate` is consumed, so XLA dead-code-eliminates the layout work.
+    """
+    step_rng = jax.vmap(lambda k: env.generate(k, env.config).rng)
+    return _replay_rng_chain_fn(step_rng, rng0, n_resets)
+
+
 def _agent_base(regs: jnp.ndarray, width: int) -> jnp.ndarray:
     return regs[R_Y : R_Y + 1, :] * width + regs[R_X : R_X + 1, :]  # (1, B)
 
 
-def _prepare_packed(env: Env, states: EnvState):
+def _pack_rolled(cfg: EnvConfig, states: EnvState):
+    """`pack_states` + the one-time agent-centering roll."""
+    words, regs = pack_states(states)
+    return _roll_to_base(words, _agent_base(regs, cfg.width)), regs
+
+
+def _prepare_packed(env: Env, states: EnvState, mode: str = "regen"):
     """Packed + agent-center-rolled live state and reset template.
 
     The reset target is each env's own layout, regenerated from its rng
     leaf (identical to the live layout for deterministic families; the
-    pinned layout in cached mode)."""
+    pinned layout in cached mode). In cached mode the template's rng
+    register rows are pinned back to the live key, so every reset replays
+    the SAME layout (core/autoreset.py's `fresh.replace(rng=state.rng)`);
+    in regen mode they carry the generator's fresh subkey — the next link
+    of the reset chain."""
     cfg = env.config
-    words0, regs0 = pack_states(states)
-    words0 = _roll_to_base(words0, _agent_base(regs0, cfg.width))
+    words0, regs0 = _pack_rolled(cfg, states)
     template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
-    tmpl_words, tmpl_regs = pack_states(template)
-    tmpl_words = _roll_to_base(tmpl_words, _agent_base(tmpl_regs, cfg.width))
+    tmpl_words, tmpl_regs = _pack_rolled(cfg, template)
+    if mode == "cached":
+        tmpl_regs = tmpl_regs.at[R_RNG : R_RNG + 2].set(key_rows(states.rng))
     return words0, regs0, tmpl_words, tmpl_regs
+
+
+def _action_stream(env: Env, num_steps: int, key, states: EnvState):
+    """The `(T, B)` random-policy action stream (identical to the stream
+    `core.rollout.build_rollout` samples under the same key, enabling
+    step-for-step equivalence tests)."""
+    policy = random_policy(env.config.num_actions)
+    keys = jax.random.split(key, num_steps)
+    actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
+    return actions.astype(jnp.int32)
 
 
 def _prepare(env: Env, num_steps: int, mode: str, key, states: EnvState):
@@ -817,13 +895,14 @@ def _prepare(env: Env, num_steps: int, mode: str, key, states: EnvState):
 
     Grids are returned in the agent-centered rolled layout `_step_core`
     expects (one `_roll_to_base` each — outside the step loop)."""
-    cfg = env.config
-    words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states)
-
-    policy = random_policy(cfg.num_actions)
-    keys = jax.random.split(key, num_steps)
-    actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
-    return words0, regs0, tmpl_words, tmpl_regs, actions.astype(jnp.int32)
+    words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states, mode)
+    return (
+        words0,
+        regs0,
+        tmpl_words,
+        tmpl_regs,
+        _action_stream(env, num_steps, key, states),
+    )
 
 
 def _finish(
@@ -839,27 +918,129 @@ def _finish(
 ):
     """Shared host-side teardown: metrics, rng continuity, state unpack."""
     b = episodes_per_env.shape[0]
-    if mode == "regen":
-        # Exact rng continuity with the regen path: envs that never reset
-        # keep their original key; envs that reset n times get the n-fold
-        # `generate(rng).rng` chain.
-        final_rng = _replay_rng_chain(env, states.rng, episodes_per_env)
-    else:
-        # Cached mode pins the key (core/autoreset.py): never advances.
-        final_rng = states.rng
-
     metrics = RolloutMetrics(
         episodes=jnp.sum(episodes_per_env),
         total_reward=jnp.sum(rsum),
         total_steps=jnp.int32(b * num_steps),
         obs_checksum=jnp.sum(csum_per_env),
+        reset_overlaps=jnp.zeros((), jnp.int32),
     )
-    # Undo the agent-centered roll (inverse roll by HW - base).
-    hw = env.config.width * env.config.height
-    base_f = _agent_base(regs_f, env.config.width)
+    final = _unpack_rolled(env.config, words_f, regs_f)
+    if mode == "regen":
+        # This (static-template) path only serves deterministic-layout
+        # families, whose template rng rows hold the FIRST chain link; for
+        # exact rng continuity with the regen autoreset, envs that reset n
+        # times need the n-fold `generate(rng).rng` chain.
+        final = final.replace(
+            rng=_replay_rng_chain(env, states.rng, episodes_per_env)
+        )
+    # Cached mode: the rng register rows are pinned to the live key
+    # (`_prepare_packed`), so the unpacked rng is already exact.
+    return final, metrics
+
+
+def _unpack_rolled(cfg: EnvConfig, words_f: jnp.ndarray, regs_f: jnp.ndarray):
+    """Undo the agent-centered roll (inverse roll by HW − base), unpack."""
+    hw = cfg.width * cfg.height
+    base_f = _agent_base(regs_f, cfg.width)
     words_f = _roll_to_base(words_f, (hw - base_f) % hw)
-    final = unpack_states(words_f, regs_f, states, env.config)
-    return final.replace(rng=final_rng), metrics
+    return unpack_states(words_f, regs_f, cfg)
+
+
+def _fit_chunk(num_steps: int, chunk: int) -> int:
+    """Largest divisor of `num_steps` that is ≤ `chunk`."""
+    tc = min(chunk, num_steps)
+    while num_steps % tc:
+        tc -= 1
+    return tc
+
+
+def _build_chunked_regen(env: Env, num_steps: int, tc: int, chunk_fn):
+    """Reference-faithful regen auto-reset for RANDOM-layout families on the
+    packed engines, via chunked template refresh.
+
+    The reference resamples a brand-new layout on every reset
+    (`reset()` → `_gen_grid`, minigrid.py:~722-748). Generating layouts
+    inside the lockstep step loop would pay full generation cost every step
+    (the vmap regen engine's bottleneck); instead the rollout runs in chunks
+    of `tc` steps and each lane carries ONE pre-generated "next layout"
+    template, refreshed between chunks:
+
+      * before chunk j, each lane's template is `generate(cur_rng)` — by the
+        reset-chain invariant this is exactly the layout the NEXT reset of
+        that lane must produce (core/autoreset.py regen:
+        `fresh = generate(state.rng)`, and `state.rng` is only advanced — to
+        `generate(rng).rng` — by a reset);
+      * inside the chunk, the kernel's template auto-reset consumes it;
+      * after the chunk, lanes that reset k times advance their chain by k
+        (`_replay_rng_chain`, rng-leaf-only — XLA dead-code-eliminates the
+        layout math).
+
+    Exactness: byte-identical to `build_rollout(..., autoreset_mode="regen")`
+    unless some lane resets ≥2 times within one chunk (the 2nd+ reset reuses
+    the chunk's template — a fresh layout for it was never materialized).
+    Such events are counted in `metrics.reset_overlaps`; 0 ⇒ exact.
+    `regen_chunk=1` makes overlaps impossible (template refresh every step —
+    the exactness-over-speed setting used by the equivalence tests).
+
+    `chunk_fn(words, regs, tmpl_words, tmpl_regs, actions_chunk)` runs `tc`
+    packed steps and returns `(words', regs', rsum, episodes, csum)` with
+    the three accumulators as `(1, B)` per-lane totals for the chunk.
+    """
+    cfg = env.config
+    n_chunks = num_steps // tc
+    gen_batch = jax.vmap(lambda k: env.generate(k, cfg))
+    chain_step = jax.vmap(lambda k: env.generate(k, cfg).rng)
+
+    def rollout(key: jax.Array, states: EnvState):
+        words0, regs0 = _pack_rolled(cfg, states)
+        actions = _action_stream(env, num_steps, key, states)
+        b = words0.shape[1]
+        actions = actions.reshape(n_chunks, tc, b)
+
+        def body(carry, a_chunk):
+            words, regs, cur_rng, m = carry
+            tmpl_words, tmpl_regs = _pack_rolled(cfg, gen_batch(cur_rng))
+            words2, regs2, rsum, epi, csum = chunk_fn(
+                words, regs, tmpl_words, tmpl_regs, a_chunk
+            )
+            # Advance each lane's reset chain by its in-chunk reset count.
+            # The first link is already in the template's rng rows; replay
+            # only the (rare) extra links.
+            consumed = epi[0] >= 1
+            rng1 = jnp.where(
+                consumed[:, None], rows_key(tmpl_regs[R_RNG : R_RNG + 2]), cur_rng
+            )
+            new_rng = _replay_rng_chain_fn(
+                chain_step, rng1, jnp.maximum(epi[0] - 1, 0)
+            )
+            m = RolloutMetrics(
+                episodes=m.episodes + jnp.sum(epi),
+                total_reward=m.total_reward + jnp.sum(rsum),
+                total_steps=m.total_steps + b * tc,
+                obs_checksum=m.obs_checksum + jnp.sum(csum),
+                reset_overlaps=m.reset_overlaps
+                + jnp.sum((epi[0] >= 2).astype(jnp.int32)),
+            )
+            return (words2, regs2, new_rng, m), None
+
+        m0 = RolloutMetrics(
+            episodes=jnp.zeros((), jnp.int32),
+            total_reward=jnp.zeros((), jnp.float32),
+            total_steps=jnp.zeros((), jnp.int32),
+            obs_checksum=jnp.zeros((), jnp.int32),
+            reset_overlaps=jnp.zeros((), jnp.int32),
+        )
+        (words_f, regs_f, rng_f, metrics), _ = lax.scan(
+            body, (words0, regs0, states.rng, m0), actions
+        )
+        # `rng_f` is the exact reset-chain position per lane (= the regen
+        # autoreset's state.rng); the register rows only hold the last
+        # reset's key, which lags for lanes that overlapped.
+        final = _unpack_rolled(cfg, words_f, regs_f).replace(rng=rng_f)
+        return final, metrics
+
+    return rollout
 
 
 def build_fused_rollout(
@@ -869,6 +1050,7 @@ def build_fused_rollout(
     step_chunk: int = 128,
     mode: str = "regen",
     interpret: Optional[bool] = None,
+    regen_chunk: int = 32,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
     single-pallas_call backend.
@@ -880,6 +1062,12 @@ def build_fused_rollout(
     (`total_reward` to float tolerance — see module docstring). Equivalence
     is asserted by tests/test_fused_rollout.py; measured speedup vs the
     vmap path is recorded in BENCH_*.json by bench.py.
+
+    mode="regen" on random-layout families runs the chunked
+    template-refresh scheme (`_build_chunked_regen`): the kernel executes
+    `regen_chunk` steps per invocation under an outer scan that swaps in
+    each lane's next fresh layout between invocations. Exact unless a lane
+    resets twice within one chunk (counted in `metrics.reset_overlaps`).
     """
     if not fused_rollout_supported(env, mode=mode):
         raise ValueError(
@@ -890,10 +1078,10 @@ def build_fused_rollout(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # Bound the per-invocation step chunk (second grid dim walks the chunks).
-    tc = min(step_chunk, num_steps)
-    while num_steps % tc:
-        tc -= 1
+    refresh = mode == "regen" and not _regen_is_static(env)
+    # Bound the per-invocation step chunk (second grid dim walks the chunks;
+    # with template refresh each invocation IS one chunk).
+    tc = _fit_chunk(num_steps, regen_chunk if refresh else step_chunk)
     num_chunks = num_steps // tc
 
     hw = cfg.width * cfg.height
@@ -906,7 +1094,7 @@ def build_fused_rollout(
             f"{cfg.width}x{cfg.height} grid (max {auto_bt})"
         )
 
-    hook, remap_action = _packed_hook(env)
+    hook, remap_action, pre_hook = _packed_hook(env)
     kernel = functools.partial(
         _rollout_kernel,
         width=cfg.width,
@@ -917,23 +1105,19 @@ def build_fused_rollout(
         see_through_walls=cfg.see_through_walls,
         hook=hook,
         remap_action=remap_action,
+        pre_hook=pre_hook,
     )
 
-    def rollout(key: jax.Array, states: EnvState):
-        b = states.step_count.shape[0]
+    def pallas_run(words0, regs0, tmpl_words, tmpl_regs, actions, n_chunks):
+        b = words0.shape[1]
         bt = min(lane_block, b)
         if b % bt:
             raise ValueError(f"batch {b} not divisible by lane block {bt}")
-
-        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
-            env, num_steps, mode, key, states
-        )
-
         state_block = lambda rows: pl.BlockSpec((rows, bt), lambda i, j: (0, i))
         action_block = pl.BlockSpec((tc, bt), lambda i, j: (j, i))
-        words_f, regs_f, rsum, counts = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
-            grid=(b // bt, num_chunks),
+            grid=(b // bt, n_chunks),
             in_specs=[
                 state_block(hw),
                 state_block(NUM_REGS),
@@ -961,11 +1145,30 @@ def build_fused_rollout(
                 pltpu.VMEM((1, bt), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
+                # Batch blocks (i) are independent — only the step-chunk
+                # dim (j) carries state (scratch persists across j).
+                dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
         )(words0, regs0, tmpl_words, tmpl_regs, actions)
 
+    if refresh:
+
+        def chunk_fn(words, regs, tmpl_words, tmpl_regs, a_chunk):
+            words_f, regs_f, rsum, counts = pallas_run(
+                words, regs, tmpl_words, tmpl_regs, a_chunk, 1
+            )
+            return words_f, regs_f, rsum, counts[0:1], counts[1:2]
+
+        return _build_chunked_regen(env, num_steps, tc, chunk_fn)
+
+    def rollout(key: jax.Array, states: EnvState):
+        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
+            env, num_steps, mode, key, states
+        )
+        words_f, regs_f, rsum, counts = pallas_run(
+            words0, regs0, tmpl_words, tmpl_regs, actions, num_chunks
+        )
         return _finish(
             env, mode, states, num_steps, words_f, regs_f,
             rsum[0], counts[0], counts[1],
@@ -978,15 +1181,17 @@ def build_packed_xla_rollout(
     env: Env,
     num_steps: int,
     mode: str = "regen",
+    regen_chunk: int = 32,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
     packed-lane layout under a plain `lax.scan` (no Pallas).
 
     Identical semantics and metrics to `build_fused_rollout` (they share
-    `_step_core`); XLA schedules each step as fused full-lane VPU ops over
-    the `(H·W, B)` / `(NUM_REGS, B)` arrays, with one HBM round-trip per
-    step instead of the kernel's VMEM residency. Use as the portable
-    fast path and as a second reference for kernel equivalence tests.
+    `_step_core` and `_build_chunked_regen`); XLA schedules each step as
+    fused full-lane VPU ops over the `(H·W, B)` / `(NUM_REGS, B)` arrays,
+    with one HBM round-trip per step instead of the kernel's VMEM
+    residency. Use as the portable fast path and as a second reference for
+    kernel equivalence tests.
     """
     if not fused_rollout_supported(env, mode=mode):
         raise ValueError(
@@ -995,7 +1200,7 @@ def build_packed_xla_rollout(
         )
     cfg = env.config
 
-    hook, remap_action = _packed_hook(env)
+    hook, remap_action, pre_hook = _packed_hook(env)
     step_math = functools.partial(
         _step_core,
         width=cfg.width,
@@ -1006,13 +1211,11 @@ def build_packed_xla_rollout(
         row_reader=_matmul_rows,
         hook=hook,
         remap_action=remap_action,
+        pre_hook=pre_hook,
     )
 
-    def rollout(key: jax.Array, states: EnvState):
-        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
-            env, num_steps, mode, key, states
-        )
-        b = words0.shape[1]
+    def scan_chunk(words, regs, tmpl_words, tmpl_regs, actions):
+        b = words.shape[1]
         zeros_f = jnp.zeros((1, b), jnp.float32)
         zeros_i = jnp.zeros((1, b), jnp.int32)
 
@@ -1030,7 +1233,20 @@ def build_packed_xla_rollout(
             ), None
 
         (words_f, regs_f, rsum, epi, csum), _ = lax.scan(
-            body, (words0, regs0, zeros_f, zeros_i, zeros_i), actions
+            body, (words, regs, zeros_f, zeros_i, zeros_i), actions
+        )
+        return words_f, regs_f, rsum, epi, csum
+
+    if mode == "regen" and not _regen_is_static(env):
+        tc = _fit_chunk(num_steps, regen_chunk)
+        return _build_chunked_regen(env, num_steps, tc, scan_chunk)
+
+    def rollout(key: jax.Array, states: EnvState):
+        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
+            env, num_steps, mode, key, states
+        )
+        words_f, regs_f, rsum, epi, csum = scan_chunk(
+            words0, regs0, tmpl_words, tmpl_regs, actions
         )
         return _finish(
             env, mode, states, num_steps, words_f, regs_f,

@@ -24,12 +24,15 @@ truth the equivalence tests compare against).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from minigrid_tpu.core import constants as C
-from minigrid_tpu.core.state import Actions
+from minigrid_tpu.core import prng
+from minigrid_tpu.core.state import Actions, EnvConfig
+from minigrid_tpu.envs import dynamicobstacles as _dynobst
 from minigrid_tpu.envs import fetch as _fetch
 from minigrid_tpu.envs import gotodoor as _gotodoor
 from minigrid_tpu.envs import gotoobject as _gotoobject
@@ -66,6 +69,7 @@ class HookVals(NamedTuple):
     aux: jnp.ndarray  # (AUX_LEN, B) per-env extras
     read_pre: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
     read_post: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    stash: Any = None  # whatever this family's PRE-hook returned (or None)
 
 
 def _row(aux: jnp.ndarray, i: int) -> jnp.ndarray:
@@ -170,6 +174,107 @@ def _hook_redbluedoors(v: HookVals):
     return reward, v.terminated | success | fail_blue_first | fail_red_late
 
 
+def _make_pre_dynamicobstacles(cfg: EnvConfig):
+    """PRE-step hook for DynamicObstacles on the packed lane layout.
+
+    Mirrors `envs/dynamicobstacles.py step` exactly: (1) record whether the
+    agent's front cell is blocked BEFORE the walk (the collision penalty's
+    predicate — reference dynamicobstacles.py:~75 computes `not_clear`
+    first), (2) sequentially random-walk each obstacle in its 3×3 box using
+    the SAME counter-based bits (`core/prng.py`, keyed on the rng register
+    rows and `step_count·n + i`) and the SAME candidate selection
+    (`select_walk_target`) as the vmap transition — the two engines consume
+    bit-identical streams.
+
+    Cell validity is computed from REGISTERS, not the grid: a
+    DynamicObstacles grid contains only boundary walls, the fixed goal at
+    (w−2, h−2), and the n obstacle balls whose coordinates live in
+    `aux[0:2n]`, and the restricted action set {left,right,forward} can
+    never add objects — so "free" ≡ interior ∧ not-goal ∧ not-agent ∧
+    not-any-obstacle. Only the two cell writes per obstacle touch the
+    `(H·W, B)` grid words.
+    """
+    from minigrid_tpu.ops.fused_rollout import (
+        R_AUX,
+        R_DIR,
+        R_RNG,
+        R_SC,
+        R_X,
+        R_Y,
+        _EMPTY_WORD,
+    )
+
+    n = cfg.n_obstacles
+    w, h = cfg.width, cfg.height
+    hw = w * h
+    ball_word = C.BALL | (C.BLUE << 4)
+
+    def pre(words: jnp.ndarray, regs: jnp.ndarray):
+        iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+        x = regs[R_X : R_X + 1, :]
+        y = regs[R_Y : R_Y + 1, :]
+        d = regs[R_DIR : R_DIR + 1, :]
+        sc = regs[R_SC : R_SC + 1, :]
+        k0 = regs[R_RNG : R_RNG + 1, :]
+        k1 = regs[R_RNG + 1 : R_RNG + 2, :]
+        base = y * w + x
+
+        # Front-cell clearance BEFORE obstacles move (stash for the
+        # post-hook's collision penalty).
+        dirx = (d == 0).astype(jnp.int32) - (d == 2).astype(jnp.int32)
+        diry = (d == 1).astype(jnp.int32) - (d == 3).astype(jnp.int32)
+        frow = (((y + diry) * w + (x + dirx)) - base) % hw
+        fwdw = jnp.sum(jnp.where(iota_hw == frow, words, 0), axis=0, keepdims=True)
+        ft = fwdw & 15
+        not_clear = (ft != C.EMPTY) & (ft != C.GOAL)
+
+        cur = [
+            (
+                regs[R_AUX + 2 * i : R_AUX + 2 * i + 1, :],
+                regs[R_AUX + 2 * i + 1 : R_AUX + 2 * i + 2, :],
+            )
+            for i in range(n)
+        ]
+        for i in range(n):
+            u = prng.hash_u31(k0, k1, sc * n + i)
+            ox, oy = cur[i]
+            valid9, xs9, ys9 = [], [], []
+            for dy_, dx_ in _dynobst.WALK_OFFSETS:
+                nx, ny = ox + dx_, oy + dy_
+                ok = (nx >= 1) & (nx <= w - 2) & (ny >= 1) & (ny <= h - 2)
+                ok &= ~((nx == w - 2) & (ny == h - 2))  # goal cell
+                ok &= ~((nx == x) & (ny == y))  # agent
+                for j in range(n):  # other obstacles (and self at j == i)
+                    ok &= ~((nx == cur[j][0]) & (ny == cur[j][1]))
+                valid9.append(ok)
+                xs9.append(nx)
+                ys9.append(ny)
+            nx, ny = _dynobst.select_walk_target(valid9, u, xs9, ys9, ox, oy)
+            row_old = ((oy * w + ox) - base) % hw
+            words = jnp.where(iota_hw == row_old, _EMPTY_WORD, words)
+            row_new = ((ny * w + nx) - base) % hw
+            words = jnp.where(iota_hw == row_new, ball_word, words)
+            cur[i] = (nx, ny)
+
+        new_aux = [r for xy in cur for r in xy]
+        regs = jnp.concatenate(
+            [regs[:R_AUX], *new_aux, regs[R_AUX + 2 * n :]], axis=0
+        )
+        return words, regs, not_clear
+
+    return pre
+
+
+def _hook_dynamicobstacles(v: HookVals):
+    """envs/dynamicobstacles.py step, post part: walking forward into a
+    pre-walk-blocked cell costs −1 and terminates
+    (dynamicobstacles.py:~90-101). `v.stash` is the pre-hook's `not_clear`."""
+    a_eff = jnp.where(v.a >= 3, 0, v.a)  # the family's action remap
+    collided = (a_eff == Actions.forward) & v.stash
+    reward = jnp.where(collided, -1.0, v.reward)
+    return reward, v.terminated | collided
+
+
 def _hook_pickup_target(v: HookVals):
     """Shared Unlock-Pickup / KeyCorridor / ObstructedMaze hook: a pickup
     that leaves the agent carrying the aux target rewards and terminates
@@ -183,9 +288,8 @@ def _hook_pickup_target(v: HookVals):
     return reward, v.terminated | got
 
 
-# Transition-function identity -> packed hook. `env.transition is base_step`
-# needs no entry (no hook); dynamicobstacles has a stochastic PRE-step grid
-# mutation, not a post-hook, and stays on the vmap engine.
+# Transition-function identity -> packed POST-hook. `env.transition is
+# base_step` needs no entry (no hook).
 HOOKS = {
     _fetch.step: _hook_fetch,
     _gotodoor.step: _hook_gotodoor,
@@ -195,6 +299,15 @@ HOOKS = {
     _unlock.step: _hook_unlock,
     _redbluedoors.step: _hook_redbluedoors,
     _unlockpickup.pickup_target_step: _hook_pickup_target,
+    _dynobst.step: _hook_dynamicobstacles,
+}
+
+# Transition-function identity -> PRE-hook factory `(EnvConfig) ->
+# fn(words, regs) -> (words', regs', stash)`, run before the base
+# transition math in `_step_core` (stochastic grid mutations; the stash is
+# handed to the family's post-hook).
+PRE_HOOK_FACTORIES = {
+    _dynobst.step: _make_pre_dynamicobstacles,
 }
 
 
@@ -203,8 +316,14 @@ def _remap_memory(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a == Actions.pickup, jnp.full_like(a, Actions.toggle), a)
 
 
+def _remap_dynamicobstacles(a: jnp.ndarray) -> jnp.ndarray:
+    # envs/dynamicobstacles.py: actions outside Discrete(3) act as 0.
+    return jnp.where(a >= 3, jnp.zeros_like(a), a)
+
+
 # Transition-function identity -> action remap applied BEFORE the base
 # transition (the hook still sees the original action).
 ACTION_REMAPS = {
     _memory.step: _remap_memory,
+    _dynobst.step: _remap_dynamicobstacles,
 }

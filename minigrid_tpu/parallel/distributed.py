@@ -66,11 +66,9 @@ def make_global_batch(
         states, _ = jax.vmap(env.reset)(idx_keys)
         return states
 
-    # jit with sharded output: XLA partitions generation itself, so each
-    # host executes only its shard of the generator program.
-    make = jax.jit(make_shard, out_shardings=None)
-    states = make(jax.device_put(keys, sharding))
-    states = jax.lax.with_sharding_constraint(states, sharding) if False else states
+    # jit with sharded input keys: XLA partitions generation itself, so
+    # each host executes only its shard of the generator program.
+    states = jax.jit(make_shard)(jax.device_put(keys, sharding))
     states = jax.tree.map(lambda x: jax.device_put(x, sharding), states)
     return states, keys
 

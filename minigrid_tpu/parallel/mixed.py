@@ -147,3 +147,124 @@ class MixedEnv:
             return out, self.observe(out), res.reward, res.terminated, res.truncated
 
         return step
+
+
+def build_mixed_rollout(menv: MixedEnv, num_steps: int, mesh=None):
+    """Random-policy rollout over a heterogeneous batch via `lax.switch`
+    dispatch — `rollout(key, states) -> (states, RolloutMetrics)`, jitted,
+    optionally sharded over the mesh's 'env' axis (BASELINE config #5)."""
+    from minigrid_tpu.core.rollout import RolloutMetrics
+    from minigrid_tpu.parallel.sharding import env_sharding, replicated
+
+    auto_step = jax.vmap(menv.autoreset_step())
+
+    def rollout(key: jax.Array, states: EnvState):
+        b = states.step_count.shape[0]
+        keys = jax.random.split(key, num_steps)
+
+        def body(carry, key_t):
+            states, metrics = carry
+            actions = jax.random.randint(
+                key_t, (b,), 0, menv.num_actions, dtype=jnp.int32
+            )
+            states, obs, reward, term, trunc = auto_step(states, actions)
+            done = term | trunc
+            metrics = RolloutMetrics(
+                episodes=metrics.episodes + jnp.sum(done.astype(jnp.int32)),
+                total_reward=metrics.total_reward + jnp.sum(reward),
+                total_steps=metrics.total_steps + b,
+                obs_checksum=metrics.obs_checksum
+                + jnp.sum(obs["image"].astype(jnp.int32)),
+                reset_overlaps=metrics.reset_overlaps,
+            )
+            return (states, metrics), None
+
+        m0 = RolloutMetrics(
+            episodes=jnp.zeros((), jnp.int32),
+            total_reward=jnp.zeros((), jnp.float32),
+            total_steps=jnp.zeros((), jnp.int32),
+            obs_checksum=jnp.zeros((), jnp.int32),
+            reset_overlaps=jnp.zeros((), jnp.int32),
+        )
+        (states, metrics), _ = lax.scan(body, (states, m0), keys)
+        return states, metrics
+
+    if mesh is None:
+        return jax.jit(rollout)
+    return jax.jit(
+        rollout,
+        in_shardings=(replicated(mesh), env_sharding(mesh)),
+        out_shardings=(env_sharding(mesh), replicated(mesh)),
+    )
+
+
+def build_packed_mixed_rollout(
+    env_ids: Sequence[str],
+    num_steps: int,
+    mesh=None,
+    mode: str = "regen",
+    backend: str = "auto",
+):
+    """Heterogeneous batch on the PACKED engines: one homogeneous lane
+    block per member family, each stepped by its family's own packed
+    kernel inside one jitted program, metrics summed.
+
+    This is the fast-path realization of BASELINE config #5: where
+    `MixedEnv` pays the `lax.switch` SPMD trade (every branch computed for
+    every lane, ≤ F× a homogeneous step), static per-family lane blocks pay
+    exactly 1× — the member proportions are frozen at build time, which is
+    how production batched RL actually runs heterogeneous sweeps.
+
+    `rollout(key, states_tuple) -> (states_tuple, RolloutMetrics)`;
+    `states_tuple` holds one batched `EnvState` per member (make them with
+    each member's `reset_batch` + `shard_states`). With a mesh, every
+    member block additionally shards over the 'env' axis
+    (`parallel.packed.build_sharded_rollout`).
+    """
+    import minigrid_tpu as _mg
+    from minigrid_tpu.core.rollout import RolloutMetrics
+    from minigrid_tpu.parallel.packed import build_sharded_rollout
+
+    envs = [_mg.make(e) for e in env_ids]
+    if mesh is not None:
+        inners = [
+            build_sharded_rollout(e, num_steps, mesh, mode=mode, backend=backend)
+            for e in envs
+        ]
+    else:
+        from minigrid_tpu.ops.fused_rollout import (
+            build_fused_rollout,
+            build_packed_xla_rollout,
+        )
+
+        mk = (
+            build_fused_rollout
+            if backend == "pallas"
+            or (backend == "auto" and jax.default_backend() == "tpu")
+            else build_packed_xla_rollout
+        )
+        inners = [mk(e, num_steps, mode=mode) for e in envs]
+
+    def rollout(key: jax.Array, states_tuple):
+        finals = []
+        total = None
+        for i, inner in enumerate(inners):
+            f, m = inner(jax.random.fold_in(key, i), states_tuple[i])
+            finals.append(f)
+            total = (
+                m
+                if total is None
+                else RolloutMetrics(
+                    episodes=total.episodes + m.episodes,
+                    total_reward=total.total_reward + m.total_reward,
+                    total_steps=total.total_steps + m.total_steps,
+                    obs_checksum=total.obs_checksum + m.obs_checksum,
+                    reset_overlaps=jnp.asarray(total.reset_overlaps)
+                    + jnp.asarray(m.reset_overlaps),
+                )
+            )
+        return tuple(finals), total
+
+    return jax.jit(rollout) if mesh is None else rollout
+
+

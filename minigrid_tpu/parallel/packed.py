@@ -85,6 +85,7 @@ def build_sharded_rollout(
             total_reward=lax.psum(m.total_reward, ENV_AXIS),
             total_steps=lax.psum(m.total_steps, ENV_AXIS),
             obs_checksum=lax.psum(m.obs_checksum, ENV_AXIS),
+            reset_overlaps=lax.psum(jnp.asarray(m.reset_overlaps), ENV_AXIS),
         )
         return final, metrics
 

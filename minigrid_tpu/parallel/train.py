@@ -192,14 +192,20 @@ def build_packed_train_step(
     import functools
 
     from minigrid_tpu.ops.fused_rollout import (
-        _finish,
+        R_RNG,
+        _fit_chunk,
         _matmul_rows,
         _obs_core,
+        _pack_rolled,
         _packed_hook,
         _prepare_packed,
+        _regen_is_static,
+        _replay_rng_chain_fn,
         _step_core,
+        _unpack_rolled,
         fused_rollout_supported,
         packed_obs_image,
+        rows_key,
     )
 
     if not fused_rollout_supported(env, mode=mode):
@@ -211,7 +217,7 @@ def build_packed_train_step(
     optimizer = make_optimizer()
     cfg = env.config
     v = cfg.agent_view_size
-    hook, remap_action = _packed_hook(env)
+    hook, remap_action, pre_hook = _packed_hook(env)
     geom = dict(
         width=cfg.width,
         height=cfg.height,
@@ -224,42 +230,95 @@ def build_packed_train_step(
         max_steps=cfg.max_steps,
         hook=hook,
         remap_action=remap_action,
+        pre_hook=pre_hook,
         with_obs=True,
         **geom,
     )
     obs_math = functools.partial(_obs_core, **geom)
 
+    # Regen on random-layout families: refresh each lane's reset template
+    # every `tc` steps (the train-loop instance of the chunked scheme in
+    # ops/fused_rollout._build_chunked_regen).
+    refresh = mode == "regen" and not _regen_is_static(env)
+    tc = _fit_chunk(num_steps, 32) if refresh else num_steps
+    n_chunks = num_steps // tc
+    gen_batch = jax.vmap(lambda k: env.generate(k, cfg))
+    chain_step = jax.vmap(lambda k: env.generate(k, cfg).rng)
+
     def rollout(params, states: EnvState, key: jax.Array):
-        words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states)
+        if refresh:
+            words0, regs0 = _pack_rolled(cfg, states)
+        else:
+            words0, regs0, tmpl_words0, tmpl_regs0 = _prepare_packed(
+                env, states, mode
+            )
         img0 = packed_obs_image(*obs_math(words0, regs0), v)
         b = img0.shape[0]
         csum0 = jnp.zeros((1, b), jnp.int32)
 
-        def body(carry, key_t):
-            words, regs, img, csum = carry
-            logits, value = model.apply(params, img)
-            actions = jax.random.categorical(key_t, logits)
-            logp = jax.nn.log_softmax(logits)[jnp.arange(b), actions]
-            words2, regs2, reward, done, obs_sum, vw, vis = step_math(
-                words, regs, actions[None, :].astype(jnp.int32),
-                tmpl_words, tmpl_regs,
-            )
-            img2 = packed_obs_image(vw, vis, v)
-            return (words2, regs2, img2, csum + obs_sum), (
-                img, actions, logp, value, reward[0], done[0],
-            )
+        def make_body(tmpl_words, tmpl_regs):
+            def body(carry, key_t):
+                words, regs, img, csum = carry
+                logits, value = model.apply(params, img)
+                actions = jax.random.categorical(key_t, logits)
+                logp = jax.nn.log_softmax(logits)[jnp.arange(b), actions]
+                words2, regs2, reward, done, obs_sum, vw, vis = step_math(
+                    words, regs, actions[None, :].astype(jnp.int32),
+                    tmpl_words, tmpl_regs,
+                )
+                img2 = packed_obs_image(vw, vis, v)
+                return (words2, regs2, img2, csum + obs_sum), (
+                    img, actions, logp, value, reward[0], done[0],
+                )
+
+            return body
 
         keys = jax.random.split(key, num_steps)
-        (words_f, regs_f, _, csum), traj = lax.scan(
-            body, (words0, regs0, img0, csum0), keys
-        )
-        reward_t, done_t = traj[4], traj[5]
-        states_f, _ = _finish(
-            env, mode, states, num_steps, words_f, regs_f,
-            jnp.sum(reward_t, axis=0),
-            jnp.sum(done_t.astype(jnp.int32), axis=0),
-            csum[0],
-        )
+        if refresh:
+            keys = keys.reshape(n_chunks, tc, -1)
+
+            def chunk(carry, keys_c):
+                words, regs, img, csum, cur_rng = carry
+                tmpl_words, tmpl_regs = _pack_rolled(cfg, gen_batch(cur_rng))
+                (words, regs, img, csum), traj_c = lax.scan(
+                    make_body(tmpl_words, tmpl_regs),
+                    (words, regs, img, csum),
+                    keys_c,
+                )
+                epi_c = jnp.sum(traj_c[5].astype(jnp.int32), axis=0)  # (B,)
+                rng1 = jnp.where(
+                    (epi_c >= 1)[:, None],
+                    rows_key(tmpl_regs[R_RNG : R_RNG + 2]),
+                    cur_rng,
+                )
+                new_rng = _replay_rng_chain_fn(
+                    chain_step, rng1, jnp.maximum(epi_c - 1, 0)
+                )
+                return (words, regs, img, csum, new_rng), traj_c
+
+            (words_f, regs_f, _, csum, rng_f), traj = lax.scan(
+                chunk, (words0, regs0, img0, csum0, states.rng), keys
+            )
+            traj = jax.tree.map(
+                lambda x: x.reshape((num_steps,) + x.shape[2:]), traj
+            )
+            states_f = _unpack_rolled(cfg, words_f, regs_f).replace(rng=rng_f)
+        else:
+            (words_f, regs_f, _, csum), traj = lax.scan(
+                make_body(tmpl_words0, tmpl_regs0),
+                (words0, regs0, img0, csum0),
+                keys,
+            )
+            states_f = _unpack_rolled(cfg, words_f, regs_f)
+            if mode == "regen":
+                # Static-template regen (deterministic layouts): replay the
+                # per-lane reset chain for exact rng continuity.
+                from minigrid_tpu.ops.fused_rollout import _replay_rng_chain
+
+                episodes = jnp.sum(traj[5].astype(jnp.int32), axis=0)
+                states_f = states_f.replace(
+                    rng=_replay_rng_chain(env, states.rng, episodes)
+                )
         return states_f, traj
 
     def loss_fn(params, states, key):

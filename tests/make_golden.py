@@ -51,6 +51,57 @@ CASES = [
     ("MiniGrid-Playground-v0", 67, 48),
     ("MiniGrid-ObstructedMaze-Full-v0", 71, 48),
     ("MiniGrid-MemoryS7-v0", 73, 48),
+    # Round-3 widening: every one of the 21 families carries ≥3 fixtures
+    # (VERDICT r2 #4). Ids vary within a family where size variants exist.
+    ("MiniGrid-Empty-5x5-v0", 101, 48),
+    ("MiniGrid-DistShift2-v0", 102, 48),
+    ("MiniGrid-DistShift1-v0", 103, 48),
+    ("MiniGrid-LavaGapS5-v0", 104, 48),
+    ("MiniGrid-LavaGapS6-v0", 105, 48),
+    ("MiniGrid-FourRooms-v0", 106, 48),
+    ("MiniGrid-FourRooms-v0", 107, 48),
+    ("MiniGrid-DoorKey-5x5-v0", 108, 48),
+    ("MiniGrid-DoorKey-16x16-v0", 109, 48),
+    ("MiniGrid-MultiRoom-N2-S4-v0", 110, 48),
+    ("MiniGrid-MultiRoom-N6-v0", 111, 48),
+    ("MiniGrid-Fetch-5x5-N2-v0", 112, 48),
+    ("MiniGrid-Fetch-6x6-N2-v0", 113, 48),
+    ("MiniGrid-GoToDoor-6x6-v0", 114, 48),
+    ("MiniGrid-GoToDoor-8x8-v0", 115, 48),
+    ("MiniGrid-GoToObject-8x8-N2-v0", 116, 48),
+    ("MiniGrid-GoToObject-6x6-N2-v0", 117, 48),
+    ("MiniGrid-PutNear-8x8-N3-v0", 118, 48),
+    ("MiniGrid-PutNear-6x6-N2-v0", 119, 48),
+    ("MiniGrid-LockedRoom-v0", 120, 48),
+    ("MiniGrid-LockedRoom-v0", 121, 48),
+    ("MiniGrid-KeyCorridorS3R1-v0", 122, 48),
+    ("MiniGrid-KeyCorridorS4R3-v0", 123, 48),
+    ("MiniGrid-Unlock-v0", 124, 48),
+    ("MiniGrid-Unlock-v0", 125, 48),
+    ("MiniGrid-UnlockPickup-v0", 126, 48),
+    ("MiniGrid-UnlockPickup-v0", 127, 48),
+    ("MiniGrid-BlockedUnlockPickup-v0", 128, 48),
+    ("MiniGrid-BlockedUnlockPickup-v0", 129, 48),
+    ("MiniGrid-ObstructedMaze-1Dl-v0", 130, 48),
+    ("MiniGrid-MemoryS9-v0", 131, 48),
+    ("MiniGrid-LavaCrossingS9N1-v0", 132, 48),
+    ("MiniGrid-Dynamic-Obstacles-8x8-v0", 133, 48),
+    ("MiniGrid-Dynamic-Obstacles-5x5-v0", 134, 48),
+    ("MiniGrid-Dynamic-Obstacles-Random-6x6-v0", 135, 48),
+    ("MiniGrid-Playground-v0", 136, 48),
+    ("MiniGrid-Playground-v0", 137, 48),
+    ("MiniGrid-RedBlueDoors-8x8-v0", 138, 48),
+    ("MiniGrid-RedBlueDoors-6x6-v0", 139, 48),
+]
+
+# Wrapper-output goldens: FullyObs / OneHot (functional encoders), FlatObs
+# (host wrapper: flattened image ⊕ 96×27 mission one-hot), and the RGB
+# renders (full grid + egocentric partial) — pinned at reset and after an
+# 8-action script.
+WRAPPER_CASES = [
+    ("MiniGrid-Empty-8x8-v0", 1337),
+    ("MiniGrid-DoorKey-8x8-v0", 1337),
+    ("MiniGrid-Fetch-5x5-N2-v0", 5),
 ]
 
 
@@ -92,6 +143,50 @@ def main():
             truncated=np.asarray(truncs),
         )
         print(f"{env_id} seed={seed}: {len(actions)} steps -> {fname}")
+
+    make_wrapper_goldens(out_dir)
+
+
+def make_wrapper_goldens(out_dir):
+    from minigrid_tpu.render.render import render_obs_image, render_state
+    from minigrid_tpu.wrappers.wrappers import full_obs, one_hot_partial_obs
+
+    for env_id, seed in WRAPPER_CASES:
+        env = minigrid_tpu.make(env_id)
+        ce = CompatEnv(env_id, seed=seed)
+        state = state_to_device(ce.reset(), env.config)
+        step = jax.jit(env.step)
+        rng = np.random.default_rng(seed + 1)
+        actions = [int(rng.integers(env.num_actions)) for _ in range(8)]
+        for a in actions:
+            state, obs, r, te, tr = step(state, jnp.int32(a))
+
+        fo = full_obs(env).observe(state, env.config)["image"]
+        oh = one_hot_partial_obs(env).observe(state, env.config)["image"]
+        rgb_full = render_state(state, env.config, tile_size=8, highlight=False)
+        rgb_partial = render_obs_image(jnp.asarray(obs["image"]), tile_size=8)
+
+        # FlatObs runs host-side on the gym adapter (image ⊕ mission
+        # one-hot); seeded through the adapter's own reset path.
+        from minigrid_tpu.compat.gym_env import gym_make
+        from minigrid_tpu.compat.host_wrappers import FlatObsWrapper
+
+        genv = FlatObsWrapper(gym_make(env_id))
+        fobs, _ = genv.reset(seed=seed)
+        for a in actions:
+            fobs, *_ = genv.step(a)
+
+        fname = os.path.join(out_dir, f"wrappers_{env_id}_s{seed}.npz")
+        np.savez_compressed(
+            fname,
+            actions=np.asarray(actions, np.int32),
+            fullobs_image=np.asarray(fo),
+            onehot_image=np.asarray(oh),
+            rgb_full=np.asarray(rgb_full),
+            rgb_partial=np.asarray(rgb_partial),
+            flat_vec=np.asarray(fobs, np.float32),
+        )
+        print(f"wrappers {env_id} seed={seed} -> {fname}")
 
 
 if __name__ == "__main__":

@@ -144,24 +144,123 @@ class TestFusedEquivalenceRegen:
         assert int(mx.episodes) > 0
         _assert_equivalent(sx, mx, sf, mf)
 
-    def test_unsupported_random_layout_raises(self):
-        env = minigrid_tpu.make("MiniGrid-Empty-Random-5x5-v0")
-        assert not fused_rollout_supported(env, mode="regen")
+    def test_unknown_mode_unsupported(self):
+        env = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+        assert not fused_rollout_supported(env, mode="nonsense")
         with pytest.raises(ValueError):
-            build_fused_rollout(env, 8, mode="regen")
+            build_fused_rollout(env, 8, mode="nonsense")
 
-    def test_unsupported_stochastic_step_raises(self):
-        # dynamicobstacles mutates the grid stochastically BEFORE the base
-        # step — not expressible as a packed post-hook.
-        env = minigrid_tpu.make("MiniGrid-Dynamic-Obstacles-5x5-v0")
-        assert not fused_rollout_supported(env, mode="cached")
-        with pytest.raises(ValueError):
-            build_fused_rollout(env, 8, mode="cached")
-
-    def test_hooked_family_supported_cached_only(self):
+    def test_hooked_family_supported_both_modes(self):
         env = minigrid_tpu.make("MiniGrid-Fetch-5x5-N2-v0")
         assert fused_rollout_supported(env, mode="cached")
-        assert not fused_rollout_supported(env, mode="regen")
+        assert fused_rollout_supported(env, mode="regen")
+
+
+class TestChunkedRegen:
+    """Reference-faithful regen auto-reset on the packed engines for
+    RANDOM-layout families (chunked template refresh,
+    `ops/fused_rollout._build_chunked_regen`) vs the vmap regen path.
+
+    `regen_chunk=1` refreshes templates every step — overlap-free by
+    construction, so equivalence must be byte-exact (including the rng
+    chain). Larger chunks are exact whenever `reset_overlaps == 0`, which
+    the engine counts.
+    """
+
+    def _run(self, env_id, steps, *, backend, regen_chunk, seed=0):
+        env = minigrid_tpu.make(env_id)
+        key = jax.random.PRNGKey(seed)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        xla = jax.jit(build_rollout(env, steps, autoreset_mode="regen"))
+        if backend == "pallas":
+            fused = jax.jit(
+                build_fused_rollout(
+                    env, steps, mode="regen", regen_chunk=regen_chunk,
+                    interpret=True,
+                )
+            )
+        else:
+            fused = jax.jit(
+                build_packed_xla_rollout(
+                    env, steps, mode="regen", regen_chunk=regen_chunk
+                )
+            )
+        sx, mx = xla(key, states)
+        sf, mf = fused(key, states)
+        return sx, mx, sf, mf
+
+    def test_empty_random_xla_chunk1(self):
+        # Random agent placement per reset: the layout genuinely resamples.
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-Empty-Random-5x5-v0", 128, backend="xla", regen_chunk=1
+        )
+        assert int(mx.episodes) >= B  # every env truncates at least once
+        assert int(mf.reset_overlaps) == 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_doorkey_xla_chunk1(self):
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-DoorKey-5x5-v0", 64, backend="xla", regen_chunk=1
+        )
+        assert int(mf.reset_overlaps) == 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_lavagap_xla_chunk1(self):
+        # Lava deaths end episodes fast — resets + template refresh fire
+        # constantly; chunk=1 keeps it exact regardless.
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-LavaGapS5-v0", 64, backend="xla", regen_chunk=1
+        )
+        assert int(mx.episodes) > 0
+        assert int(mf.reset_overlaps) == 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_lavagap_chunk4_flags_overlaps(self):
+        # With a 4-step chunk some lane dies twice inside one chunk (lava
+        # sits two moves from spawn): the engine must COUNT those instead of
+        # silently reusing the chunk template.
+        _, mx, _, mf = self._run(
+            "MiniGrid-LavaGapS5-v0", 64, backend="xla", regen_chunk=4
+        )
+        assert int(mf.reset_overlaps) > 0
+        # Integer step count is unaffected by overlap accounting.
+        assert int(mf.total_steps) == int(mx.total_steps)
+
+    def test_fetch_hooked_xla_chunk1(self):
+        # Hooked custom-step family under regen: any pickup terminates.
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-Fetch-5x5-N2-v0", 48, backend="xla", regen_chunk=1
+        )
+        assert int(mx.episodes) > 0
+        assert int(mf.reset_overlaps) == 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_doorkey_pallas_chunk4(self):
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-DoorKey-5x5-v0", 32, backend="pallas", regen_chunk=4
+        )
+        assert int(mf.reset_overlaps) == 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_overlap_detection(self):
+        # max_steps=2 truncates every 2 steps: a chunk of 8 sees 4 resets
+        # per lane — the engine must flag the overlap instead of silently
+        # reusing the chunk template.
+        import dataclasses
+
+        env = minigrid_tpu.make("MiniGrid-FourRooms-v0")
+        env = dataclasses.replace(
+            env, config=dataclasses.replace(env.config, max_steps=2)
+        )
+        key = jax.random.PRNGKey(1)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        fused = jax.jit(
+            build_packed_xla_rollout(env, 16, mode="regen", regen_chunk=8)
+        )
+        _, mf = fused(key, states)
+        assert int(mf.reset_overlaps) > 0
 
 
 class TestFusedEquivalenceCached:
@@ -227,7 +326,7 @@ class TestVmemSizing:
             jax.random.PRNGKey(3), 8
         )
         words, regs = pack_states(states)
-        back = unpack_states(words, regs, states, env.config)
+        back = unpack_states(words, regs, env.config)
         for leaf_a, leaf_b in zip(
             jax.tree.leaves(states), jax.tree.leaves(back)
         ):
@@ -318,23 +417,85 @@ class TestPackedHookFamilies:
         assert int(mx.episodes) > 0, env_id
         _assert_equivalent(sx, mx, sf, mf)
 
-    @pytest.mark.parametrize(
-        "env_id",
-        [
-            "MiniGrid-Fetch-5x5-N2-v0",  # regs-only hook
-            "MiniGrid-Unlock-v0",  # absolute-cell read hook
-            "MiniGrid-MemoryS7-v0",  # action remap + pos hook
-        ],
-    )
+    # EVERY hooked family runs inside the actual Pallas kernel (interpret
+    # mode on CPU), not only mechanism exemplars — locked-door families use
+    # the same doctored states as the XLA-twin tests so their success
+    # terminations genuinely fire in-kernel.
+    PALLAS_CASES = [e for e, _ in FAMILY_CASES] + [e for e, _ in DOCTORED_CASES]
+
+    @pytest.mark.parametrize("env_id", PALLAS_CASES)
     def test_pallas_kernel_matches_vmap(self, env_id):
-        doctor = (
-            self._doctor(env_id) if env_id == "MiniGrid-Unlock-v0" else None
-        )
+        needs_doctor = env_id in {e for e, _ in self.DOCTORED_CASES}
+        doctor = self._doctor(env_id) if needs_doctor else None
         sx, mx, sf, mf = _run_both(
             env_id, 32, "cached", step_chunk=16, backend="pallas", doctor=doctor
         )
         assert int(mx.episodes) > 0, env_id
         _assert_equivalent(sx, mx, sf, mf)
+
+
+class TestDynamicObstaclesPacked:
+    """DynamicObstacles on the packed engines: the PRE-step hook's
+    register-file obstacle walk + counter-based bits (core/prng.py) must
+    reproduce the vmap transition bit-for-bit — same layouts, same walks,
+    same collisions — in both auto-reset modes and in the Pallas kernel."""
+
+    ENV = "MiniGrid-Dynamic-Obstacles-5x5-v0"
+
+    def test_supported_both_modes(self):
+        env = minigrid_tpu.make(self.ENV)
+        assert fused_rollout_supported(env, mode="cached")
+        assert fused_rollout_supported(env, mode="regen")
+
+    def test_xla_twin_cached(self):
+        sx, mx, sf, mf = _run_both(self.ENV, 64, "cached", backend="xla")
+        assert int(mx.episodes) > 0  # collisions fire under random walks
+        assert float(mx.total_reward) < 0  # −1 collision penalties dominate
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_xla_twin_regen_chunk1(self):
+        env = minigrid_tpu.make(self.ENV)
+        key = jax.random.PRNGKey(0)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        xla = jax.jit(build_rollout(env, 48, autoreset_mode="regen"))
+        packed = jax.jit(
+            build_packed_xla_rollout(env, 48, mode="regen", regen_chunk=1)
+        )
+        sx, mx = xla(key, states)
+        sf, mf = packed(key, states)
+        assert int(mx.episodes) > 0
+        assert int(mf.reset_overlaps) == 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_pallas_kernel_cached(self):
+        sx, mx, sf, mf = _run_both(
+            self.ENV, 32, "cached", step_chunk=16, backend="pallas"
+        )
+        assert int(mx.episodes) > 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_threefry_matches_jax(self):
+        # The in-kernel PRNG must be the real Threefry-2x32 (the generator
+        # jax.random itself uses), not an ad-hoc hash.
+        from jax._src import prng as jprng
+
+        from minigrid_tpu.core.prng import threefry2x32
+
+        key = np.array([0x12345678, 0x9ABCDEF0], dtype=np.uint32)
+        counts = np.arange(8, dtype=np.uint32)
+        ref = np.asarray(jprng.threefry_2x32(jnp.asarray(key), jnp.asarray(counts)))
+        kw = key.view(np.int32)
+        y0, y1 = threefry2x32(
+            jnp.int32(kw[0]),
+            jnp.int32(kw[1]),
+            jnp.asarray(counts[:4].astype(np.int32)),
+            jnp.asarray(counts[4:].astype(np.int32)),
+        )
+        got = np.concatenate(
+            [np.asarray(y0).view(np.uint32), np.asarray(y1).view(np.uint32)]
+        )
+        np.testing.assert_array_equal(ref, got)
 
 
 class TestPackedObsImage:

@@ -67,3 +67,83 @@ class TestMixed:
         np.testing.assert_array_equal(
             np.asarray(states.aux[:, FAMILY_SLOT]), np.asarray(member_ids)
         )
+
+
+class TestMixedRollouts:
+    """BASELINE config #5 engines: the lax.switch vmap rollout and the
+    per-family packed lane blocks, both sharded over the 8-device mesh."""
+
+    IDS = ["MiniGrid-LavaCrossingS9N1-v0", "MiniGrid-FourRooms-v0"]
+
+    def test_vmap_mixed_sharded_rollout_metrics(self):
+        from minigrid_tpu.parallel.mixed import build_mixed_rollout
+
+        menv = make_mixed()
+        mesh = make_env_mesh()
+        B = 16
+        member_ids = jnp.asarray([i % 2 for i in range(B)], jnp.int32)
+        states, _ = jax.jit(menv.reset_batch)(jax.random.PRNGKey(0), member_ids)
+        states = shard_states(states, mesh)
+        rollout = build_mixed_rollout(menv, 12, mesh)
+        states, m = rollout(jax.random.PRNGKey(1), states)
+        assert int(m.total_steps) == B * 12
+        assert int(m.obs_checksum) > 0
+        # Family ids preserved through stepping and auto-reset.
+        np.testing.assert_array_equal(
+            np.asarray(states.aux[:, FAMILY_SLOT]), np.asarray(member_ids)
+        )
+
+    def test_packed_mixed_blocks_match_per_family_rollouts(self):
+        import minigrid_tpu
+        from minigrid_tpu.ops.fused_rollout import build_packed_xla_rollout
+        from minigrid_tpu.parallel.mixed import build_packed_mixed_rollout
+
+        B = 128
+        key = jax.random.PRNGKey(2)
+        envs = [minigrid_tpu.make(e) for e in self.IDS]
+        states = tuple(
+            jax.jit(e.reset_batch, static_argnums=1)(
+                jax.random.fold_in(key, 10 + i), B
+            )[0]
+            for i, e in enumerate(envs)
+        )
+        mixed = build_packed_mixed_rollout(
+            self.IDS, 16, mode="cached", backend="packed"
+        )
+        finals, m = mixed(key, states)
+        # The mixed program must equal running each family's own packed
+        # rollout under the same folded keys.
+        tot_epi = tot_csum = 0
+        for i, e in enumerate(envs):
+            ro = jax.jit(build_packed_xla_rollout(e, 16, mode="cached"))
+            f, mi = ro(jax.random.fold_in(key, i), states[i])
+            tot_epi += int(mi.episodes)
+            tot_csum += int(mi.obs_checksum)
+            np.testing.assert_array_equal(
+                np.asarray(finals[i].grid), np.asarray(f.grid)
+            )
+        assert int(m.episodes) == tot_epi
+        assert int(m.obs_checksum) == tot_csum
+        assert int(m.total_steps) == 2 * B * 16
+
+    def test_packed_mixed_sharded_over_mesh(self):
+        import minigrid_tpu
+        from minigrid_tpu.parallel.mixed import build_packed_mixed_rollout
+
+        mesh = make_env_mesh()
+        B = 128 * mesh.devices.size
+        key = jax.random.PRNGKey(3)
+        states = tuple(
+            shard_states(
+                jax.jit(minigrid_tpu.make(e).reset_batch, static_argnums=1)(
+                    jax.random.fold_in(key, i), B
+                )[0],
+                mesh,
+            )
+            for i, e in enumerate(self.IDS)
+        )
+        mixed = build_packed_mixed_rollout(
+            self.IDS, 8, mesh=mesh, mode="cached", backend="packed"
+        )
+        _, m = mixed(key, states)
+        assert int(m.total_steps) == 2 * B * 8

@@ -196,10 +196,31 @@ class TestPackedTrainStep:
         for a, b in zip(jax.tree.leaves(states_p), jax.tree.leaves(states_v)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_unsupported_family_raises(self):
+    def test_unknown_mode_raises(self):
         from minigrid_tpu.parallel.train import build_packed_train_step
+
+        env = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+        mesh = make_env_mesh()
+        with pytest.raises(ValueError):
+            build_packed_train_step(env, mesh, num_steps=4, mode="bogus")
+
+    def test_dynamicobstacles_packed_train_compiles(self):
+        # Since round 3 every family (incl. the stochastic-transition one)
+        # runs on the packed engines — the packed train step included.
+        from minigrid_tpu.parallel.train import (
+            build_packed_train_step,
+            init_train_state,
+        )
 
         env = minigrid_tpu.make("MiniGrid-Dynamic-Obstacles-5x5-v0")
         mesh = make_env_mesh()
-        with pytest.raises(ValueError):
-            build_packed_train_step(env, mesh, num_steps=4, mode="cached")
+        step = build_packed_train_step(env, mesh, num_steps=4, mode="cached")
+        key = jax.random.PRNGKey(0)
+        key, k_env, k_model = jax.random.split(key, 3)
+        ts = init_train_state(k_model, env, mesh)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, 16)
+        from minigrid_tpu.parallel.sharding import shard_states
+
+        states = shard_states(states, mesh)
+        ts, states, metrics = step(ts, states, key)
+        assert np.isfinite(float(metrics["loss"]))
