@@ -76,7 +76,7 @@ matches to float tolerance only.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -353,6 +353,9 @@ def _step_core(
     remap_action=None,  # packed_hooks.ACTION_REMAPS entry (or None)
     pre_hook=None,  # built packed_hooks.PRE_HOOK_FACTORIES entry (or None)
     with_obs=False,  # also return the post-step (vw, vis) view
+    ablate=frozenset(),  # profiling only (tools/profile_packed.py): stage
+    # names to skip — "fwdwrite", "roll", "reset", "obs" — so the pruned
+    # kernel's runtime attributes per-stage cost. NEVER set in production.
 ):
     """One packed transition + auto-reset + obs checksum.
 
@@ -470,9 +473,12 @@ def _step_core(
     new_fwd = jnp.where(is_toggle & (ft == C.DOOR), toggled_door, new_fwd)
     new_fwd = jnp.where(is_toggle & (ft == C.BOX), toggled_box, new_fwd)
     # Write-back at the forward cell: its rolled row is one of 4 constants.
-    off_f = _sel4(d, [jnp.full_like(d, o) for o in off_fwd])  # (1, B)
-    fwd_mask = iota_hw == off_f  # (HW, B)
-    words1 = jnp.where(fwd_mask, new_fwd, words)
+    if "fwdwrite" in ablate:
+        words1 = words
+    else:
+        off_f = _sel4(d, [jnp.full_like(d, o) for o in off_fwd])  # (1, B)
+        fwd_mask = iota_hw == off_f  # (HW, B)
+        words1 = jnp.where(fwd_mask, new_fwd, words)
 
     # ---- family post-hook (packed_hooks.py) --------------------------------
     # Runs on the base transition's outcome, exactly where the vmap engine's
@@ -507,16 +513,22 @@ def _step_core(
 
     # Re-center the grid on the agent after a forward move: a static roll by
     # the per-direction offset, selected branchlessly per lane.
-    rolls = [_roll_static(words1, o) for o in off_fwd]
-    words_m = words1
-    for i in range(4):
-        words_m = jnp.where(moves & (d == i), rolls[i], words_m)
+    if "roll" in ablate:
+        words_m = words1
+    else:
+        rolls = [_roll_static(words1, o) for o in off_fwd]
+        words_m = words1
+        for i in range(4):
+            words_m = jnp.where(moves & (d == i), rolls[i], words_m)
 
     truncated = sc1 >= max_steps
     done = terminated | truncated
 
     # ---- template auto-reset (core/autoreset.py semantics) ----------------
-    words2 = jnp.where(done, tmpl_words, words_m)
+    if "reset" in ablate:
+        words2 = words_m
+    else:
+        words2 = jnp.where(done, tmpl_words, words_m)
     x2 = jnp.where(done, tmpl_regs[R_X : R_X + 1, :], x1)
     y2 = jnp.where(done, tmpl_regs[R_Y : R_Y + 1, :], y1)
     d2 = jnp.where(done, tmpl_regs[R_DIR : R_DIR + 1, :], d1)
@@ -532,19 +544,24 @@ def _step_core(
     )
 
     # ---- post-step observation (the next policy input) --------------------
-    vw, vis = _obs_core(
-        words2,
-        regs2,
-        width=width,
-        height=height,
-        view=view,
-        see_through_walls=see_through_walls,
-        row_reader=row_reader,
-    )
+    if "obs" in ablate:
+        vw = jnp.zeros((view * view, words.shape[1]), jnp.int32)
+        vis = jnp.ones_like(vw)
+        obs_sum = jnp.sum(words2[0:1] & 15, axis=0, keepdims=True)
+    else:
+        vw, vis = _obs_core(
+            words2,
+            regs2,
+            width=width,
+            height=height,
+            view=view,
+            see_through_walls=see_through_walls,
+            row_reader=row_reader,
+        )
 
-    # ---- obs checksum (type+color+state over visible cells) ---------------
-    tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
-    obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
+        # ---- obs checksum (type+color+state over visible cells) -----------
+        tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
+        obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
 
     if with_obs:
         return words2, regs2, reward, done, obs_sum, vw, vis
@@ -680,6 +697,7 @@ def _rollout_kernel(
     hook=None,
     remap_action=None,
     pre_hook=None,
+    ablate=frozenset(),
 ):
     # First step-chunk for this batch block: load state, zero accumulators.
     @pl.when(pl.program_id(1) == 0)
@@ -709,6 +727,7 @@ def _rollout_kernel(
             hook=hook,
             remap_action=remap_action,
             pre_hook=pre_hook,
+            ablate=ablate,
         )
         words_s[:] = words2
         regs_s[:] = regs2
@@ -884,59 +903,7 @@ def _action_stream(env: Env, num_steps: int, key, states: EnvState):
     """The `(T, B)` random-policy action stream (identical to the stream
     `core.rollout.build_rollout` samples under the same key, enabling
     step-for-step equivalence tests)."""
-    policy = random_policy(env.config.num_actions)
-    keys = jax.random.split(key, num_steps)
-    actions = jax.vmap(lambda k: policy(k, states.step_count[:, None]))(keys)
-    return actions.astype(jnp.int32)
-
-
-def _prepare(env: Env, num_steps: int, mode: str, key, states: EnvState):
-    """Shared host-side setup: packed state, reset template, action stream.
-
-    Grids are returned in the agent-centered rolled layout `_step_core`
-    expects (one `_roll_to_base` each — outside the step loop)."""
-    words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states, mode)
-    return (
-        words0,
-        regs0,
-        tmpl_words,
-        tmpl_regs,
-        _action_stream(env, num_steps, key, states),
-    )
-
-
-def _finish(
-    env: Env,
-    mode: str,
-    states: EnvState,
-    num_steps: int,
-    words_f,
-    regs_f,
-    rsum,  # (B,) f32
-    episodes_per_env,  # (B,) i32
-    csum_per_env,  # (B,) i32
-):
-    """Shared host-side teardown: metrics, rng continuity, state unpack."""
-    b = episodes_per_env.shape[0]
-    metrics = RolloutMetrics(
-        episodes=jnp.sum(episodes_per_env),
-        total_reward=jnp.sum(rsum),
-        total_steps=jnp.int32(b * num_steps),
-        obs_checksum=jnp.sum(csum_per_env),
-        reset_overlaps=jnp.zeros((), jnp.int32),
-    )
-    final = _unpack_rolled(env.config, words_f, regs_f)
-    if mode == "regen":
-        # This (static-template) path only serves deterministic-layout
-        # families, whose template rng rows hold the FIRST chain link; for
-        # exact rng continuity with the regen autoreset, envs that reset n
-        # times need the n-fold `generate(rng).rng` chain.
-        final = final.replace(
-            rng=_replay_rng_chain(env, states.rng, episodes_per_env)
-        )
-    # Cached mode: the rng register rows are pinned to the live key
-    # (`_prepare_packed`), so the unpacked rng is already exact.
-    return final, metrics
+    return _action_stream_b(env, num_steps, key, states.step_count.shape[0])
 
 
 def _unpack_rolled(cfg: EnvConfig, words_f: jnp.ndarray, regs_f: jnp.ndarray):
@@ -953,6 +920,113 @@ def _fit_chunk(num_steps: int, chunk: int) -> int:
     while num_steps % tc:
         tc -= 1
     return tc
+
+
+# --------------------------------------------------------------------------
+# Steady-state (carry) API
+#
+# The legacy `rollout(key, states)` surface pays per CALL: template
+# generation (`vmap(env.generate)` over the whole batch — for procedural
+# families like MultiRoom this dwarfs the kernel at small `num_steps`),
+# the two agent-centering `_roll_to_base` passes, pack, and unpack. A
+# production loop calls the rollout thousands of times back to back, where
+# all of that is loop-invariant (cached mode) or already per-chunk
+# (regen). The carry API hoists it: `packed_init` once, then each
+# `step_fn(key, carry) -> (carry, metrics)` call runs ONLY the kernel,
+# the action stream, and (regen) the per-chunk refresh; `packed_finish`
+# unpacks once at the end. The legacy builders are thin wrappers
+# (init → one step → finish), so the two surfaces cannot diverge.
+# --------------------------------------------------------------------------
+
+
+class PackedCarry(NamedTuple):
+    """Opaque device state threaded between carry-API rollout calls.
+
+    `words`/`regs` are the live packed state (agent-centered rolled
+    layout); `tmpl_*` the auto-reset template (None in chunked-regen mode,
+    which regenerates templates per chunk); `rng` the `(B, 2)` uint32
+    regen reset-chain position (`EnvState.rng` semantics — the register
+    file's rng rows only hold the LAST reset's key, which lags it).
+    """
+
+    words: jnp.ndarray
+    regs: jnp.ndarray
+    tmpl_words: Optional[jnp.ndarray]
+    tmpl_regs: Optional[jnp.ndarray]
+    rng: jnp.ndarray
+
+
+def packed_init(env: Env, states: EnvState, mode: str = "regen") -> PackedCarry:
+    """Pack a batched `EnvState` into a `PackedCarry` (one-time cost)."""
+    cfg = env.config
+    if mode == "regen" and not _regen_is_static(env):
+        words0, regs0 = _pack_rolled(cfg, states)
+        return PackedCarry(words0, regs0, None, None, states.rng)
+    words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states, mode)
+    return PackedCarry(words0, regs0, tmpl_words, tmpl_regs, states.rng)
+
+
+def packed_finish(env: Env, carry: PackedCarry) -> EnvState:
+    """Unpack a `PackedCarry` back into a batched `EnvState`."""
+    final = _unpack_rolled(env.config, carry.words, carry.regs)
+    return final.replace(rng=carry.rng)
+
+
+def _wrap_legacy(env: Env, mode: str, step_carry):
+    """The legacy `rollout(key, states)` surface as init → step → finish."""
+
+    def rollout(key: jax.Array, states: EnvState):
+        carry = packed_init(env, states, mode)
+        carry, metrics = step_carry(key, carry)
+        return packed_finish(env, carry), metrics
+
+    return rollout
+
+
+def _make_plain_carry_step(env: Env, num_steps: int, mode: str, run_core):
+    """Carry step for the static-template paths (cached mode, or regen on
+    deterministic-layout families).
+
+    `run_core(words, regs, tmpl_words, tmpl_regs, actions)` executes the
+    whole `num_steps` and returns `(words', regs', rsum, epi, csum)` with
+    `(1, B)` per-lane accumulators.
+    """
+
+    def step_carry(key: jax.Array, carry: PackedCarry):
+        b = carry.words.shape[1]
+        actions = _action_stream_b(env, num_steps, key, b)
+        words_f, regs_f, rsum, epi, csum = run_core(
+            carry.words, carry.regs, carry.tmpl_words, carry.tmpl_regs, actions
+        )
+        rng = carry.rng
+        if mode == "regen":
+            # Deterministic-layout families: advance each lane's reset
+            # chain by its episode count (rng-leaf-only replay — XLA
+            # dead-code-eliminates the layout math).
+            rng = _replay_rng_chain(env, rng, epi[0])
+        metrics = RolloutMetrics(
+            episodes=jnp.sum(epi),
+            total_reward=jnp.sum(rsum),
+            total_steps=jnp.int32(b * num_steps),
+            obs_checksum=jnp.sum(csum),
+            reset_overlaps=jnp.zeros((), jnp.int32),
+        )
+        return (
+            PackedCarry(
+                words_f, regs_f, carry.tmpl_words, carry.tmpl_regs, rng
+            ),
+            metrics,
+        )
+
+    return step_carry
+
+
+def _action_stream_b(env: Env, num_steps: int, key, b: int):
+    """`_action_stream` from a bare batch size (carry API — no EnvState)."""
+    policy = random_policy(env.config.num_actions)
+    keys = jax.random.split(key, num_steps)
+    actions = jax.vmap(lambda k: policy(k, jnp.zeros((b, 1), jnp.int32)))(keys)
+    return actions.astype(jnp.int32)
 
 
 def _build_chunked_regen(env: Env, num_steps: int, tc: int, chunk_fn):
@@ -986,16 +1060,19 @@ def _build_chunked_regen(env: Env, num_steps: int, tc: int, chunk_fn):
     `chunk_fn(words, regs, tmpl_words, tmpl_regs, actions_chunk)` runs `tc`
     packed steps and returns `(words', regs', rsum, episodes, csum)` with
     the three accumulators as `(1, B)` per-lane totals for the chunk.
+
+    Returns the CARRY-form step (`step_carry(key, carry)`); wrap with
+    `_wrap_legacy` for the `rollout(key, states)` surface.
     """
     cfg = env.config
     n_chunks = num_steps // tc
     gen_batch = jax.vmap(lambda k: env.generate(k, cfg))
     chain_step = jax.vmap(lambda k: env.generate(k, cfg).rng)
 
-    def rollout(key: jax.Array, states: EnvState):
-        words0, regs0 = _pack_rolled(cfg, states)
-        actions = _action_stream(env, num_steps, key, states)
+    def step_carry(key: jax.Array, carry: PackedCarry):
+        words0, regs0 = carry.words, carry.regs
         b = words0.shape[1]
+        actions = _action_stream_b(env, num_steps, key, b)
         actions = actions.reshape(n_chunks, tc, b)
 
         def body(carry, a_chunk):
@@ -1032,15 +1109,14 @@ def _build_chunked_regen(env: Env, num_steps: int, tc: int, chunk_fn):
             reset_overlaps=jnp.zeros((), jnp.int32),
         )
         (words_f, regs_f, rng_f, metrics), _ = lax.scan(
-            body, (words0, regs0, states.rng, m0), actions
+            body, (words0, regs0, carry.rng, m0), actions
         )
         # `rng_f` is the exact reset-chain position per lane (= the regen
         # autoreset's state.rng); the register rows only hold the last
         # reset's key, which lags for lanes that overlapped.
-        final = _unpack_rolled(cfg, words_f, regs_f).replace(rng=rng_f)
-        return final, metrics
+        return PackedCarry(words_f, regs_f, None, None, rng_f), metrics
 
-    return rollout
+    return step_carry
 
 
 def build_fused_rollout(
@@ -1051,9 +1127,14 @@ def build_fused_rollout(
     mode: str = "regen",
     interpret: Optional[bool] = None,
     regen_chunk: int = 32,
+    _ablate: frozenset = frozenset(),
+    as_carry: bool = False,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
-    single-pallas_call backend.
+    single-pallas_call backend — or, with `as_carry=True`, the
+    steady-state `step(key, carry) -> (carry, RolloutMetrics)` surface
+    (see `packed_init`/`packed_finish`), which skips the per-call
+    template-generation/pack/unpack cost of the legacy surface.
 
     Drop-in for `core.rollout.build_rollout(env, num_steps)` (mode="regen")
     or `build_rollout(env, num_steps, autoreset_mode="cached")`
@@ -1106,6 +1187,7 @@ def build_fused_rollout(
         hook=hook,
         remap_action=remap_action,
         pre_hook=pre_hook,
+        ablate=_ablate,
     )
 
     def pallas_run(words0, regs0, tmpl_words, tmpl_regs, actions, n_chunks):
@@ -1160,21 +1242,20 @@ def build_fused_rollout(
             )
             return words_f, regs_f, rsum, counts[0:1], counts[1:2]
 
-        return _build_chunked_regen(env, num_steps, tc, chunk_fn)
+        step_carry = _build_chunked_regen(env, num_steps, tc, chunk_fn)
+    else:
 
-    def rollout(key: jax.Array, states: EnvState):
-        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
-            env, num_steps, mode, key, states
-        )
-        words_f, regs_f, rsum, counts = pallas_run(
-            words0, regs0, tmpl_words, tmpl_regs, actions, num_chunks
-        )
-        return _finish(
-            env, mode, states, num_steps, words_f, regs_f,
-            rsum[0], counts[0], counts[1],
-        )
+        def run_core(words, regs, tmpl_words, tmpl_regs, actions):
+            words_f, regs_f, rsum, counts = pallas_run(
+                words, regs, tmpl_words, tmpl_regs, actions, num_chunks
+            )
+            return words_f, regs_f, rsum, counts[0:1], counts[1:2]
 
-    return rollout
+        step_carry = _make_plain_carry_step(env, num_steps, mode, run_core)
+
+    if as_carry:
+        return step_carry
+    return _wrap_legacy(env, mode, step_carry)
 
 
 def build_packed_xla_rollout(
@@ -1182,9 +1263,12 @@ def build_packed_xla_rollout(
     num_steps: int,
     mode: str = "regen",
     regen_chunk: int = 32,
+    as_carry: bool = False,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
-    packed-lane layout under a plain `lax.scan` (no Pallas).
+    packed-lane layout under a plain `lax.scan` (no Pallas). With
+    `as_carry=True`, the steady-state carry surface instead (see
+    `build_fused_rollout`).
 
     Identical semantics and metrics to `build_fused_rollout` (they share
     `_step_core` and `_build_chunked_regen`); XLA schedules each step as
@@ -1239,18 +1323,10 @@ def build_packed_xla_rollout(
 
     if mode == "regen" and not _regen_is_static(env):
         tc = _fit_chunk(num_steps, regen_chunk)
-        return _build_chunked_regen(env, num_steps, tc, scan_chunk)
+        step_carry = _build_chunked_regen(env, num_steps, tc, scan_chunk)
+    else:
+        step_carry = _make_plain_carry_step(env, num_steps, mode, scan_chunk)
 
-    def rollout(key: jax.Array, states: EnvState):
-        words0, regs0, tmpl_words, tmpl_regs, actions = _prepare(
-            env, num_steps, mode, key, states
-        )
-        words_f, regs_f, rsum, epi, csum = scan_chunk(
-            words0, regs0, tmpl_words, tmpl_regs, actions
-        )
-        return _finish(
-            env, mode, states, num_steps, words_f, regs_f,
-            rsum[0], epi[0], csum[0],
-        )
-
-    return rollout
+    if as_carry:
+        return step_carry
+    return _wrap_legacy(env, mode, step_carry)

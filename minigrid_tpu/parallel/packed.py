@@ -33,11 +33,34 @@ from minigrid_tpu.core.rollout import RolloutMetrics, build_rollout
 from minigrid_tpu.core.state import EnvState
 from minigrid_tpu.envs.base import Env
 from minigrid_tpu.ops.fused_rollout import (
+    PackedCarry,
+    _regen_is_static,
     build_fused_rollout,
     build_packed_xla_rollout,
     fused_rollout_supported,
 )
 from minigrid_tpu.parallel.sharding import ENV_AXIS
+
+
+def shard_carry(carry: PackedCarry, mesh: Mesh) -> PackedCarry:
+    """Place a `PackedCarry` so its batch (LANE) axis is split over 'env'
+    — the `shard_states` counterpart for the packed steady-state surface
+    (`packed_init` under plain jit often yields a replicated layout)."""
+    from jax.sharding import NamedSharding
+
+    lane = NamedSharding(mesh, P(None, ENV_AXIS))
+    rngs = NamedSharding(mesh, P(ENV_AXIS))
+
+    def put(x, s):
+        return None if x is None else jax.device_put(x, s)
+
+    return PackedCarry(
+        words=put(carry.words, lane),
+        regs=put(carry.regs, lane),
+        tmpl_words=put(carry.tmpl_words, lane),
+        tmpl_regs=put(carry.tmpl_regs, lane),
+        rng=put(carry.rng, rngs),
+    )
 
 
 def _pick_backend(env: Env, mode: str) -> str:
@@ -53,6 +76,7 @@ def build_sharded_rollout(
     mode: str = "regen",
     backend: str = "auto",
     lane_block: Optional[int] = None,
+    as_carry: bool = False,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` sharded
     over the mesh's 'env' axis.
@@ -63,23 +87,35 @@ def build_sharded_rollout(
     states stay sharded. `backend`: 'auto' picks pallas on TPU / the packed
     XLA twin elsewhere when the env supports it, falling back to the vmap
     engine (which supports every family) otherwise.
+
+    With `as_carry=True` (packed backends only), returns the steady-state
+    `step(key, carry) -> (carry, RolloutMetrics)` surface over a sharded
+    `ops.fused_rollout.PackedCarry` — build the carry with
+    `shard_carry(packed_init(env, states, mode), mesh)` and unpack once at
+    the end with `packed_finish`.
     """
     if mode not in ("regen", "cached"):
         raise ValueError(f"unknown autoreset mode {mode!r}")
     if backend == "auto":
         backend = _pick_backend(env, mode)
+    if as_carry and backend == "vmap":
+        raise ValueError("as_carry requires a packed backend (packed/pallas)")
     if backend == "pallas":
-        inner = build_fused_rollout(env, num_steps, lane_block=lane_block, mode=mode)
+        inner = build_fused_rollout(
+            env, num_steps, lane_block=lane_block, mode=mode, as_carry=as_carry
+        )
     elif backend == "packed":
-        inner = build_packed_xla_rollout(env, num_steps, mode=mode)
+        inner = build_packed_xla_rollout(
+            env, num_steps, mode=mode, as_carry=as_carry
+        )
     elif backend == "vmap":
         inner = build_rollout(env, num_steps, autoreset_mode=mode)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    def shard_body(key: jax.Array, states: EnvState):
+    def shard_body(key: jax.Array, state_in):
         key = jax.random.fold_in(key, lax.axis_index(ENV_AXIS))
-        final, m = inner(key, states)
+        final, m = inner(key, state_in)
         metrics = RolloutMetrics(
             episodes=lax.psum(m.episodes, ENV_AXIS),
             total_reward=lax.psum(m.total_reward, ENV_AXIS),
@@ -89,16 +125,32 @@ def build_sharded_rollout(
         )
         return final, metrics
 
+    if as_carry:
+        # Packed layouts carry the batch in the LANE (last) axis; only the
+        # rng key block is batch-major. Chunked-regen carries have no
+        # template (None ⇒ empty subtree in both specs and values).
+        has_tmpl = not (mode == "regen" and not _regen_is_static(env))
+        lane = P(None, ENV_AXIS)
+        state_spec = PackedCarry(
+            words=lane,
+            regs=lane,
+            tmpl_words=lane if has_tmpl else None,
+            tmpl_regs=lane if has_tmpl else None,
+            rng=P(ENV_AXIS),
+        )
+    else:
+        state_spec = P(ENV_AXIS)
+
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(ENV_AXIS)),
-        out_specs=(P(ENV_AXIS), P()),
+        in_specs=(P(), state_spec),
+        out_specs=(state_spec, P()),
         check_vma=False,
     )
 
     @jax.jit
-    def rollout(key: jax.Array, states: EnvState):
-        return sharded(key, states)
+    def rollout(key: jax.Array, state_in):
+        return sharded(key, state_in)
 
     return rollout

@@ -175,6 +175,7 @@ def build_packed_train_step(
     gamma: float = 0.99,
     entropy_coef: float = 0.01,
     value_coef: float = 0.5,
+    as_carry: bool = False,
 ):
     """Policy-in-the-loop training on the packed-lane engine.
 
@@ -188,22 +189,32 @@ def build_packed_train_step(
     inference, loss, optimizer — stays in ONE jitted program with the env
     dimension on the TPU vector lanes. Supported on the same families as
     `fused_rollout_supported(env, mode=mode)`.
+
+    With `as_carry=True` the step signature becomes
+    `(TrainState, PackedCarry, key) -> (TrainState, PackedCarry, metrics)`
+    — the steady-state surface of `ops/fused_rollout.packed_init`/
+    `packed_finish`, skipping the per-call template-generation/pack/unpack
+    the `EnvState` surface pays (for procedural families like MultiRoom
+    the template `vmap(generate)` dwarfs the rollout at small
+    `num_steps`).
     """
     import functools
 
     from minigrid_tpu.ops.fused_rollout import (
         R_RNG,
+        PackedCarry,
         _fit_chunk,
         _matmul_rows,
         _obs_core,
         _pack_rolled,
         _packed_hook,
-        _prepare_packed,
         _regen_is_static,
+        _replay_rng_chain,
         _replay_rng_chain_fn,
         _step_core,
-        _unpack_rolled,
         fused_rollout_supported,
+        packed_finish,
+        packed_init,
         packed_obs_image,
         rows_key,
     )
@@ -245,13 +256,8 @@ def build_packed_train_step(
     gen_batch = jax.vmap(lambda k: env.generate(k, cfg))
     chain_step = jax.vmap(lambda k: env.generate(k, cfg).rng)
 
-    def rollout(params, states: EnvState, key: jax.Array):
-        if refresh:
-            words0, regs0 = _pack_rolled(cfg, states)
-        else:
-            words0, regs0, tmpl_words0, tmpl_regs0 = _prepare_packed(
-                env, states, mode
-            )
+    def rollout_packed(params, pc: "PackedCarry", key: jax.Array):
+        words0, regs0 = pc.words, pc.regs
         img0 = packed_obs_image(*obs_math(words0, regs0), v)
         b = img0.shape[0]
         csum0 = jnp.zeros((1, b), jnp.int32)
@@ -297,32 +303,37 @@ def build_packed_train_step(
                 return (words, regs, img, csum, new_rng), traj_c
 
             (words_f, regs_f, _, csum, rng_f), traj = lax.scan(
-                chunk, (words0, regs0, img0, csum0, states.rng), keys
+                chunk, (words0, regs0, img0, csum0, pc.rng), keys
             )
             traj = jax.tree.map(
                 lambda x: x.reshape((num_steps,) + x.shape[2:]), traj
             )
-            states_f = _unpack_rolled(cfg, words_f, regs_f).replace(rng=rng_f)
+            pc_f = PackedCarry(words_f, regs_f, None, None, rng_f)
         else:
             (words_f, regs_f, _, csum), traj = lax.scan(
-                make_body(tmpl_words0, tmpl_regs0),
+                make_body(pc.tmpl_words, pc.tmpl_regs),
                 (words0, regs0, img0, csum0),
                 keys,
             )
-            states_f = _unpack_rolled(cfg, words_f, regs_f)
+            rng_f = pc.rng
             if mode == "regen":
                 # Static-template regen (deterministic layouts): replay the
                 # per-lane reset chain for exact rng continuity.
-                from minigrid_tpu.ops.fused_rollout import _replay_rng_chain
-
                 episodes = jnp.sum(traj[5].astype(jnp.int32), axis=0)
-                states_f = states_f.replace(
-                    rng=_replay_rng_chain(env, states.rng, episodes)
-                )
-        return states_f, traj
+                rng_f = _replay_rng_chain(env, pc.rng, episodes)
+            pc_f = PackedCarry(
+                words_f, regs_f, pc.tmpl_words, pc.tmpl_regs, rng_f
+            )
+        return pc_f, traj
+
+    def rollout(params, states: EnvState, key: jax.Array):
+        pc, traj = rollout_packed(params, packed_init(env, states, mode), key)
+        return packed_finish(env, pc), traj
+
+    rollout_fn = rollout_packed if as_carry else rollout
 
     def loss_fn(params, states, key):
-        states, traj = rollout(params, states, key)
+        states, traj = rollout_fn(params, states, key)
         # The rollout is inference-only: every traj leaf is either integer
         # data or consumed under stop_gradient in the loss, so cut the
         # backward pass through the scan explicitly — XLA then frees the
@@ -343,10 +354,25 @@ def build_packed_train_step(
         params = optax.apply_updates(train_state.params, updates)
         return TrainState(params, opt_state), states, metrics
 
-    shard_env = env_sharding(mesh)
     rep = replicated(mesh)
+    if as_carry:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from minigrid_tpu.parallel.sharding import ENV_AXIS
+
+        # Packed layouts carry the batch in the LANE (last) axis.
+        lane = NamedSharding(mesh, P(None, ENV_AXIS))
+        shard_state = PackedCarry(
+            words=lane,
+            regs=lane,
+            tmpl_words=None if refresh else lane,
+            tmpl_regs=None if refresh else lane,
+            rng=env_sharding(mesh),
+        )
+    else:
+        shard_state = env_sharding(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(rep, shard_env, rep),
-        out_shardings=(rep, shard_env, rep),
+        in_shardings=(rep, shard_state, rep),
+        out_shardings=(rep, shard_state, rep),
     )

@@ -540,3 +540,66 @@ class TestPackedObsImage:
         got = packed_obs_image(vw, vis, cfg.agent_view_size)
         want = jax.vmap(lambda s: gen_obs_image(s, cfg))(states)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestCarryApi:
+    """The steady-state carry surface (`as_carry=True` + `packed_init`/
+    `packed_finish`) must be step-for-step identical to chaining the
+    legacy `rollout(key, states)` surface — the legacy surface IS
+    init → one step → finish, so N carry steps under keys k1..kN must
+    equal N legacy calls threading the returned states."""
+
+    CASES = [
+        ("MiniGrid-Empty-8x8-v0", "regen"),  # static-template regen
+        ("MiniGrid-DoorKey-5x5-v0", "cached"),  # pinned template
+        ("MiniGrid-DoorKey-5x5-v0", "regen"),  # chunked template refresh
+    ]
+
+    @pytest.mark.parametrize("env_id,mode", CASES)
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_chained_legacy(self, env_id, mode, backend):
+        from minigrid_tpu.ops.fused_rollout import packed_finish, packed_init
+
+        env = minigrid_tpu.make(env_id)
+        num_steps, n_calls = 32, 3
+        key = jax.random.PRNGKey(3)
+        key, k_reset = jax.random.split(key)
+        states0, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        kw = dict(interpret=True) if backend == "pallas" else {}
+        build = (
+            build_fused_rollout if backend == "pallas"
+            else build_packed_xla_rollout
+        )
+        legacy = jax.jit(build(env, num_steps, mode=mode, **kw))
+        step = jax.jit(build(env, num_steps, mode=mode, as_carry=True, **kw))
+
+        keys = jax.random.split(key, n_calls)
+        st = states0
+        legacy_metrics = []
+        for k in keys:
+            st, m = legacy(k, st)
+            legacy_metrics.append(m)
+
+        carry = jax.jit(
+            lambda s: packed_init(env, s, mode), static_argnums=()
+        )(states0)
+        carry_metrics = []
+        for k in keys:
+            carry, m = step(k, carry)
+            carry_metrics.append(m)
+        sf = jax.jit(lambda c: packed_finish(env, c))(carry)
+
+        for ml, mc in zip(legacy_metrics, carry_metrics):
+            assert int(mc.episodes) == int(ml.episodes)
+            assert int(mc.total_steps) == int(ml.total_steps)
+            assert int(mc.obs_checksum) == int(ml.obs_checksum)
+            np.testing.assert_allclose(
+                float(mc.total_reward), float(ml.total_reward),
+                rtol=1e-5, atol=1e-5,
+            )
+        for leaf_l, leaf_c in zip(
+            jax.tree_util.tree_leaves(st), jax.tree_util.tree_leaves(sf)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(leaf_l), np.asarray(leaf_c)
+            )

@@ -142,6 +142,42 @@ class TestShardedPackedRollout:
         assert int(mp.obs_checksum) == int(fp.obs_checksum)
         assert int(mp.episodes) == int(fp.episodes)
 
+    @pytest.mark.parametrize(
+        "env_id,mode",
+        [
+            ("MiniGrid-Empty-8x8-v0", "regen"),
+            ("MiniGrid-DoorKey-5x5-v0", "cached"),
+            ("MiniGrid-DoorKey-5x5-v0", "regen"),  # chunked (no template)
+        ],
+    )
+    def test_carry_surface_matches_chained_legacy(self, env_id, mode):
+        """The sharded steady-state carry surface must equal chaining the
+        sharded legacy surface (same per-shard fold_in keys)."""
+        from minigrid_tpu.ops.fused_rollout import packed_finish, packed_init
+        from minigrid_tpu.parallel.packed import build_sharded_rollout
+
+        B, T = 8 * 128, 8
+        env, mesh, key, states = self._setup(env_id, B, seed=2)
+        legacy = build_sharded_rollout(env, T, mesh, mode=mode, backend="packed")
+        step = build_sharded_rollout(
+            env, T, mesh, mode=mode, backend="packed", as_carry=True
+        )
+
+        keys = jax.random.split(key, 2)
+        st = states
+        for k in keys:
+            st, ml = legacy(k, st)
+
+        carry = jax.jit(lambda s: packed_init(env, s, mode))(states)
+        for k in keys:
+            carry, mc = step(k, carry)
+        sf = jax.jit(lambda c: packed_finish(env, c))(carry)
+
+        assert int(mc.episodes) == int(ml.episodes)
+        assert int(mc.obs_checksum) == int(ml.obs_checksum)
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(sf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_auto_falls_back_to_vmap_engine(self):
         """Families the packed layout doesn't support (custom step
         overrides) still shard: backend='auto' routes to the vmap engine."""
@@ -194,6 +230,65 @@ class TestPackedTrainStep:
             )
         # Env states after the rollout match exactly (integer arrays).
         for a, b in zip(jax.tree.leaves(states_p), jax.tree.leaves(states_v)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize(
+        "env_id,mode",
+        [
+            ("MiniGrid-Empty-8x8-v0", "regen"),
+            ("MiniGrid-DoorKey-5x5-v0", "regen"),  # chunked refresh
+        ],
+    )
+    def test_carry_surface_matches_legacy(self, env_id, mode):
+        """as_carry=True train steps chained over a PackedCarry must equal
+        the EnvState-surface steps chained over states (identical params,
+        metrics, and final env states)."""
+        from minigrid_tpu.ops.fused_rollout import packed_finish, packed_init
+        from minigrid_tpu.parallel.train import (
+            build_packed_train_step,
+            init_train_state,
+        )
+
+        env = minigrid_tpu.make(env_id)
+        mesh = make_env_mesh()
+        B, T = 64, 8
+        key = jax.random.PRNGKey(4)
+        key, k_env, k_model = jax.random.split(key, 3)
+        ts0 = init_train_state(k_model, env, mesh)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, B)
+        states = shard_states(states, mesh)
+
+        legacy = build_packed_train_step(env, mesh, num_steps=T, mode=mode)
+        stepc = build_packed_train_step(
+            env, mesh, num_steps=T, mode=mode, as_carry=True
+        )
+
+        keys = jax.random.split(key, 2)
+        ts_l, st = ts0, states
+        for k in keys:
+            ts_l, st, m_l = legacy(ts_l, st, k)
+
+        ts_c = ts0
+        from minigrid_tpu.parallel.packed import shard_carry
+
+        carry = shard_carry(
+            jax.jit(lambda s: packed_init(env, s, mode))(states), mesh
+        )
+        for k in keys:
+            ts_c, carry, m_c = stepc(ts_c, carry, k)
+        sf = jax.jit(lambda c: packed_finish(env, c))(carry)
+
+        for k in m_l:
+            np.testing.assert_allclose(
+                float(m_c[k]), float(m_l[k]), rtol=1e-5, atol=1e-6, err_msg=k
+            )
+        for a, b in zip(
+            jax.tree.leaves(ts_c.params), jax.tree.leaves(ts_l.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(sf)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_unknown_mode_raises(self):
