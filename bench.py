@@ -265,11 +265,13 @@ def main():
     )
     p.add_argument(
         "--carry",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="measure the steady-state carry surface (packed_init once, "
-        "then kernel-only calls) instead of the per-call "
-        "pack+template+unpack legacy surface — the number a production "
-        "loop actually sees",
+        "then kernel-only calls — the number a production loop actually "
+        "sees; the default). --no-carry measures the legacy "
+        "rollout(key, states) surface, which re-packs, re-generates the "
+        "auto-reset template, and unpacks every call",
     )
     p.add_argument(
         "--train",

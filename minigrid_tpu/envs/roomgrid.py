@@ -276,18 +276,19 @@ def place_agent(
     return rg, d.astype(jnp.int32)
 
 
-def reach_mask(rg: RG, config: EnvConfig, start_i, start_j) -> jnp.ndarray:
+def reach_mask(has_door: jnp.ndarray, config: EnvConfig, start_i, start_j) -> jnp.ndarray:
     """(R, Cc) bool — rooms reachable from start through existing doors
-    (`connect_all`'s `find_reach`, roomgrid.py:~340-355)."""
+    (`connect_all`'s `find_reach`, roomgrid.py:~340-355). Operates on the
+    bare `(R, Cc, 4)` door-existence array."""
     rows, cols = config.num_rows, config.num_cols
     reach = jnp.zeros((rows, cols), bool).at[start_j, start_i].set(True)
     for _ in range(rows * cols):
         # Propagate through each slot direction.
         r = reach
-        right = jnp.pad(r[:, :-1] & rg.has_door[:, :-1, RIGHT], ((0, 0), (1, 0)))
-        left = jnp.pad(r[:, 1:] & rg.has_door[:, 1:, LEFT], ((0, 0), (0, 1)))
-        down = jnp.pad(r[:-1, :] & rg.has_door[:-1, :, DOWN], ((1, 0), (0, 0)))
-        up = jnp.pad(r[1:, :] & rg.has_door[1:, :, UP], ((0, 1), (0, 0)))
+        right = jnp.pad(r[:, :-1] & has_door[:, :-1, RIGHT], ((0, 0), (1, 0)))
+        left = jnp.pad(r[:, 1:] & has_door[:, 1:, LEFT], ((0, 0), (0, 1)))
+        down = jnp.pad(r[:-1, :] & has_door[:-1, :, DOWN], ((1, 0), (0, 0)))
+        up = jnp.pad(r[1:, :] & has_door[1:, :, UP], ((0, 1), (0, 0)))
         reach = r | right | left | down | up
     return reach
 
@@ -296,44 +297,112 @@ def connect_all(
     rg: RG, config: EnvConfig, key: jax.Array, max_itrs: int = 5000
 ) -> RG:
     """Randomly add unlocked doors until every room is reachable from the
-    agent's room (`RoomGrid.connect_all`, roomgrid.py:~332-375)."""
+    agent's room (`RoomGrid.connect_all`, roomgrid.py:~332-375).
+
+    Under `vmap` the while_loop iterates until the SLOWEST lane converges
+    (median ~20, tail ~100+ draws), so per-iteration state size is
+    everything. Two rewrites vs the naive port: (1) the loop never touches
+    the `(H, W, 5)` grid — accepted doors are painted ONCE afterwards
+    (≤ R·Cc·2 shared walls, statically unrolled); (2) the loop state is
+    BIT-PACKED per lane — door existence is one int32 room-bitmask per
+    slot direction (bit j·Cc+i = room (i,j)) and the reachability flood is
+    R·Cc shift-OR steps on those masks, so one iteration is ~30 scalar
+    int-ops per lane instead of scatters into padded (R, Cc, 4) arrays
+    (which made batched KeyCorridorS6R3 generation ~170× slower than
+    MultiRoom). Identical draw sequence, identical final layout."""
     rows, cols, rs = config.num_rows, config.num_cols, config.room_size
+    rc = rows * cols
+    assert rc <= 30, "room-bitmask packing needs rows*cols <= 30"
     start_i = rg.agent_pos[0] // (rs - 1)
     start_j = rg.agent_pos[1] // (rs - 1)
     # Clamp to the last room for positions on the final shared wall line.
     start_i = jnp.minimum(start_i, cols - 1)
     start_j = jnp.minimum(start_j, rows - 1)
 
+    full = (1 << rc) - 1
+    right_edge = sum(1 << (j * cols + cols - 1) for j in range(rows))
+    left_edge = sum(1 << (j * cols) for j in range(rows))
+    room_bits = 1 << jnp.arange(rc, dtype=jnp.int32)  # (RC,)
+
+    def pack(mask_2d):  # (R, Cc) bool -> () int32 bitmask
+        return jnp.sum(jnp.where(mask_2d.reshape(-1), room_bits, 0))
+
+    locked_bits = pack(rg.locked)
+    hd0 = jnp.stack([pack(rg.has_door[:, :, k]) for k in range(4)])  # (4,)
+
+    def connected(hd):
+        hdr, hdd, hdl, hdu = hd[0], hd[1], hd[2], hd[3]
+        reach = jnp.int32(1) << (start_j * cols + start_i)
+        for _ in range(rc):
+            r = reach
+            reach = (
+                r
+                | ((r & hdr & ~right_edge) << 1)
+                | ((r & hdl & ~left_edge) >> 1)
+                | ((r & hdd) << cols)
+                | ((r & hdu) >> cols)
+            ) & full
+        return reach == full
+
     def cond(carry):
-        rg, key, itrs = carry
-        connected = jnp.all(reach_mask(rg, config, start_i, start_j))
-        return ~connected & (itrs < max_itrs)
+        hd, colors, key, itrs = carry
+        return ~connected(hd) & (itrs < max_itrs)
 
     def body(carry):
-        rg, key, itrs = carry
+        hd, colors, key, itrs = carry
         key, k_i, k_j, k_k, k_c = jax.random.split(key, 5)
         i = jax.random.randint(k_i, (), 0, cols)
         j = jax.random.randint(k_j, (), 0, rows)
         k = jax.random.randint(k_k, (), 0, 4)
         ni, nj = _neighbor_idx(i, j, k)
+        nim, njm = ni % cols, nj % rows
+        bit = jnp.int32(1) << (j * cols + i)
+        nbit = jnp.int32(1) << (njm * cols + nim)
         ok = (
             neighbor_exists(config, i, j, k)
-            & ~rg.has_door[j, i, k]
-            & ~rg.locked[j, i]
-            & ~rg.locked[nj % rows, ni % cols]
+            & ((hd[k] & bit) == 0)
+            & ((locked_bits & bit) == 0)
+            & ((locked_bits & nbit) == 0)
         )
         color = rand_color(k_c)
-        added = add_door(
-            rg._replace(),  # copy
-            config,
-            jnp.where(ok, i, 0),
-            jnp.where(ok, j, 0),
-            jnp.where(ok, k, 0),
-            color,
-            False,
-        )
-        new_rg = jax.tree.map(lambda a, b: jnp.where(ok, a, b), added, rg)
-        return new_rg, key, itrs + 1
+        ksym = (k + 2) % 4
+        hd = hd.at[k].set(hd[k] | jnp.where(ok, bit, 0))
+        hd = hd.at[ksym].set(hd[ksym] | jnp.where(ok, nbit, 0))
+        # Flat (R·Cc·4,) color vector; two one-hot selects per accept.
+        slot = (j * cols + i) * 4 + k
+        nslot = (njm * cols + nim) * 4 + ksym
+        idx = jnp.arange(rc * 4)
+        colors = jnp.where(ok & ((idx == slot) | (idx == nslot)), color, colors)
+        return hd, colors, key, itrs + 1
 
-    rg, _, _ = lax.while_loop(cond, body, (rg, key, jnp.int32(0)))
-    return rg
+    colors0 = jnp.zeros((rc * 4,), jnp.uint8)
+    hd_f, colors_flat, _, _ = lax.while_loop(
+        cond, body, (hd0, colors0, key, jnp.int32(0))
+    )
+    has_door_f = (
+        ((hd_f[None, :] >> jnp.arange(rc, dtype=jnp.int32)[:, None]) & 1)
+        .astype(bool)
+        .reshape(rows, cols, 4)
+    )
+    colors_f = colors_flat.reshape(rows, cols, 4)
+
+    # Paint the added doors (every shared wall is some room's right/down
+    # slot; the symmetric registration above guarantees the accepting
+    # room's slot carries the color).
+    grid = rg.grid
+    for j in range(rows):
+        for i in range(cols):
+            for k in (RIGHT, DOWN):
+                if (k == RIGHT and i >= cols - 1) or (k == DOWN and j >= rows - 1):
+                    continue
+                new = has_door_f[j, i, k] & ~rg.has_door[j, i, k]
+                pos = rg.door_pos[j, i, k]
+                cell = jnp.stack(
+                    [jnp.uint8(C.DOOR), colors_f[j, i, k],
+                     jnp.uint8(C.STATE_CLOSED), jnp.uint8(0), jnp.uint8(0)]
+                )
+                old = grid[pos[1], pos[0]]
+                grid = G.set_cell(
+                    grid, pos[0], pos[1], jnp.where(new, cell, old)
+                )
+    return rg._replace(grid=grid, has_door=has_door_f)

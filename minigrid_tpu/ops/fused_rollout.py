@@ -676,6 +676,7 @@ def _rollout_kernel(
     tmpl_words_ref,
     tmpl_regs_ref,
     actions_ref,
+    sel_ref,  # (4 + 4V², HW) f32 row-selection matrix (dummy when unused)
     # outputs
     words_out_ref,
     regs_out_ref,
@@ -698,6 +699,7 @@ def _rollout_kernel(
     remap_action=None,
     pre_hook=None,
     ablate=frozenset(),
+    matmul_reader: bool = False,
 ):
     # First step-chunk for this batch block: load state, zero accumulators.
     @pl.when(pl.program_id(1) == 0)
@@ -710,6 +712,24 @@ def _rollout_kernel(
 
     tmpl_words = tmpl_words_ref[:]
     tmpl_regs = tmpl_regs_ref[:]
+
+    if matmul_reader:
+        # Row reads as ONE MXU matmul against the input selection matrix
+        # (a Mosaic kernel cannot capture large trace-time constants, so
+        # the 0/1 matrix arrives as an input). Exact: packed words < 2^20
+        # < 2^24 (f32 mantissa) and each output row copies one input row.
+        # The only two row sets `_step_core`/`_obs_core` read are the
+        # 4-row forward set and the 4V²-row view set, laid out in sel as
+        # [fwd(4); view(4V²)] — disambiguated by length.
+        def row_reader(x, rows):
+            n = len(rows)
+            sl = sel_ref[0:4, :] if n == 4 else sel_ref[4 : 4 + n, :]
+            return jnp.dot(
+                sl, x.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+    else:
+        row_reader = _sliced_rows
 
     def step(t, _):
         a = actions_ref[pl.ds(t, 1), :]  # (1, Bt) int32
@@ -724,6 +744,7 @@ def _rollout_kernel(
             view=view,
             max_steps=max_steps,
             see_through_walls=see_through_walls,
+            row_reader=row_reader,
             hook=hook,
             remap_action=remap_action,
             pre_hook=pre_hook,
@@ -830,14 +851,15 @@ def fused_rollout_supported(
     return ok
 
 
-def _auto_lane_block(hw: int, step_chunk: int) -> int:
+def _auto_lane_block(hw: int, step_chunk: int, fixed_bytes: int = 0) -> int:
     """Largest lane block (multiple of 128) fitting the VMEM budget.
 
     Resident per lane: grid words ×4 (in, template, out, scratch) + regs ×4
-    + actions chunk + accumulators, all int32.
+    + actions chunk + accumulators, all int32. `fixed_bytes` covers
+    lane-independent residents (the matmul-reader selection matrix).
     """
     words_per_lane = 4 * hw + 4 * NUM_REGS + step_chunk + 8
-    max_lanes = _VMEM_BUDGET_BYTES // (4 * words_per_lane)
+    max_lanes = max(0, _VMEM_BUDGET_BYTES - fixed_bytes) // (4 * words_per_lane)
     return (max_lanes // 128) * 128
 
 
@@ -1129,12 +1151,23 @@ def build_fused_rollout(
     regen_chunk: int = 32,
     _ablate: frozenset = frozenset(),
     as_carry: bool = False,
+    row_reader: str = "auto",
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
     single-pallas_call backend — or, with `as_carry=True`, the
     steady-state `step(key, carry) -> (carry, RolloutMetrics)` surface
     (see `packed_init`/`packed_finish`), which skips the per-call
     template-generation/pack/unpack cost of the legacy surface.
+
+    `row_reader`: how the kernel reads the per-direction forward/view rows
+    — "slices" (4 + 4V² single-row static slices), "matmul" (one MXU
+    matmul against an input 0/1 selection matrix; exact, see
+    `_rollout_kernel`), or "auto". Measured on 1× v5e: matmul won a
+    standalone microbenchmark at HW=625 (~27%/step) but LOST in the full
+    kernel (MultiRoom-N4 steady 137M vs 144M steps/s — the slice chain
+    overlaps with the rest of the step, the MXU issue does not), so
+    "auto" currently always picks slices; "matmul" stays available and
+    equivalence-tested for future hardware where the tradeoff flips.
 
     Drop-in for `core.rollout.build_rollout(env, num_steps)` (mode="regen")
     or `build_rollout(env, num_steps, autoreset_mode="cached")`
@@ -1166,7 +1199,12 @@ def build_fused_rollout(
     num_chunks = num_steps // tc
 
     hw = cfg.width * cfg.height
-    auto_bt = _auto_lane_block(hw, tc)
+    if row_reader not in ("auto", "slices", "matmul"):
+        raise ValueError(f"unknown row_reader {row_reader!r}")
+    use_mm = row_reader == "matmul"
+    v0 = cfg.agent_view_size
+    sel_bytes = (4 + 4 * v0 * v0) * hw * 4 if use_mm else 8 * 128 * 4
+    auto_bt = _auto_lane_block(hw, tc, fixed_bytes=sel_bytes)
     if lane_block is None:
         lane_block = min(512, auto_bt)
     if lane_block > auto_bt:
@@ -1174,13 +1212,21 @@ def build_fused_rollout(
             f"lane_block={lane_block} exceeds the VMEM budget for a "
             f"{cfg.width}x{cfg.height} grid (max {auto_bt})"
         )
+    v = cfg.agent_view_size
+    off_fwd, off_view, _, _ = _dir_tables(cfg.width, cfg.height, v)
+    sel_rows = np.concatenate([np.asarray(off_fwd, np.int32)] + off_view)
+    if use_mm:
+        sel_np = np.zeros((len(sel_rows), hw), np.float32)
+        sel_np[np.arange(len(sel_rows)), sel_rows] = 1.0
+    else:
+        sel_np = np.zeros((8, 128), np.float32)  # unused dummy input
 
     hook, remap_action, pre_hook = _packed_hook(env)
     kernel = functools.partial(
         _rollout_kernel,
         width=cfg.width,
         height=cfg.height,
-        view=cfg.agent_view_size,
+        view=v,
         max_steps=cfg.max_steps,
         step_chunk=tc,
         see_through_walls=cfg.see_through_walls,
@@ -1188,6 +1234,7 @@ def build_fused_rollout(
         remap_action=remap_action,
         pre_hook=pre_hook,
         ablate=_ablate,
+        matmul_reader=use_mm,
     )
 
     def pallas_run(words0, regs0, tmpl_words, tmpl_regs, actions, n_chunks):
@@ -1197,6 +1244,7 @@ def build_fused_rollout(
             raise ValueError(f"batch {b} not divisible by lane block {bt}")
         state_block = lambda rows: pl.BlockSpec((rows, bt), lambda i, j: (0, i))
         action_block = pl.BlockSpec((tc, bt), lambda i, j: (j, i))
+        sel_block = pl.BlockSpec(sel_np.shape, lambda i, j: (0, 0))
         return pl.pallas_call(
             kernel,
             grid=(b // bt, n_chunks),
@@ -1206,6 +1254,7 @@ def build_fused_rollout(
                 state_block(hw),
                 state_block(NUM_REGS),
                 action_block,
+                sel_block,
             ],
             out_specs=[
                 state_block(hw),
@@ -1232,7 +1281,7 @@ def build_fused_rollout(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(words0, regs0, tmpl_words, tmpl_regs, actions)
+        )(words0, regs0, tmpl_words, tmpl_regs, actions, jnp.asarray(sel_np))
 
     if refresh:
 

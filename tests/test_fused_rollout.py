@@ -603,3 +603,34 @@ class TestCarryApi:
             np.testing.assert_array_equal(
                 np.asarray(leaf_l), np.asarray(leaf_c)
             )
+
+
+class TestMatmulRowReader:
+    """The kernel's MXU row-selection matmul reader (row_reader="matmul";
+    kept as a measured-off alternative, see `build_fused_rollout`) must be
+    bit-identical to the static-slice reader — exactness argument in
+    `_rollout_kernel`."""
+
+    @pytest.mark.parametrize(
+        "env_id,mode",
+        [
+            ("MiniGrid-Empty-8x8-v0", "regen"),
+            ("MiniGrid-DoorKey-8x8-v0", "cached"),
+            ("MiniGrid-MultiRoom-N4-S5-v0", "cached"),  # hw=625
+        ],
+    )
+    def test_matches_vmap(self, env_id, mode):
+        env = minigrid_tpu.make(env_id)
+        key = jax.random.PRNGKey(11)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        xla = jax.jit(build_rollout(env, 24, autoreset_mode=mode))
+        fused = jax.jit(
+            build_fused_rollout(
+                env, 24, mode=mode, step_chunk=8, interpret=True,
+                row_reader="matmul",
+            )
+        )
+        sx, mx = xla(key, states)
+        sf, mf = fused(key, states)
+        _assert_equivalent(sx, mx, sf, mf)
