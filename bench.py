@@ -61,18 +61,23 @@ def pick_path(env, requested: str, mode: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "packed"
 
 
-def build(env, path: str, num_steps: int, mode: str, as_carry: bool = False):
+def build(
+    env, path: str, num_steps: int, mode: str, as_carry: bool = False,
+    regen_chunk: int = 32, refresh_block=None,
+):
     if path == "vmap":
         if as_carry:
             raise ValueError("--carry needs a packed path (packed/pallas)")
         return build_rollout(env, num_steps=num_steps, autoreset_mode=mode)
     if path == "packed":
         return build_packed_xla_rollout(
-            env, num_steps=num_steps, mode=mode, as_carry=as_carry
+            env, num_steps=num_steps, mode=mode, as_carry=as_carry,
+            regen_chunk=regen_chunk, refresh_block=refresh_block,
         )
     if path == "pallas":
         return build_fused_rollout(
-            env, num_steps=num_steps, mode=mode, as_carry=as_carry
+            env, num_steps=num_steps, mode=mode, as_carry=as_carry,
+            regen_chunk=regen_chunk, refresh_block=refresh_block,
         )
     raise ValueError(f"unknown path {path!r}")
 
@@ -85,6 +90,8 @@ def run(
     path: str,
     mode: str,
     carry: bool = False,
+    regen_chunk: int = 32,
+    refresh_block=None,
 ) -> float:
     env = minigrid_tpu.make(env_id)
     path = pick_path(env, path, mode)
@@ -108,7 +115,10 @@ def run(
         # kernel + action stream (ops/fused_rollout.py carry API).
         from minigrid_tpu.ops.fused_rollout import R_SC, packed_init
 
-        step = jax.jit(build(env, path, num_steps, mode, as_carry=True))
+        step = jax.jit(
+            build(env, path, num_steps, mode, as_carry=True,
+                  regen_chunk=regen_chunk, refresh_block=refresh_block)
+        )
         c = jax.jit(lambda s: packed_init(env, s, mode))(states)
 
         def fence_c(c, metrics):
@@ -126,7 +136,10 @@ def run(
             best = max(best, batch_size * num_steps / dt)
         return best
 
-    rollout = jax.jit(build(env, path, num_steps, mode))
+    rollout = jax.jit(
+        build(env, path, num_steps, mode,
+              regen_chunk=regen_chunk, refresh_block=refresh_block)
+    )
 
     # Compile + warm up.
     states, metrics = rollout(key, states)
@@ -274,6 +287,15 @@ def main():
         "auto-reset template, and unpacks every call",
     )
     p.add_argument(
+        "--regen-chunk", type=int, default=32,
+        help="regen-mode template-refresh chunk length (exact for any "
+        "value; larger amortizes per-chunk refresh overhead)",
+    )
+    p.add_argument(
+        "--refresh-block", type=int, default=None,
+        help="compacted template-regeneration slice size (default B/8)",
+    )
+    p.add_argument(
         "--train",
         action="store_true",
         help="bench the full train step (rollout + actor-critic + update) "
@@ -318,6 +340,7 @@ def main():
         steps_per_sec = run(
             args.env_id, args.batch_size, args.num_steps, args.iters,
             args.path, args.mode, carry=args.carry,
+            regen_chunk=args.regen_chunk, refresh_block=args.refresh_block,
         )
     tag = "train_" if args.train else ""
     if args.carry and not args.train:

@@ -30,11 +30,13 @@ class RolloutMetrics(NamedTuple):
     # carry so the observation encoder is a live data dependency (otherwise
     # XLA dead-code-eliminates obs under a random policy and benchmarks
     # measure a step-only program)
-    reset_overlaps: jnp.ndarray = 0  # () int32 — count of
-    # (lane, chunk) pairs where the packed regen engine saw ≥2 resets within
-    # one template-refresh chunk (the 2nd+ reset reused the chunk's layout —
-    # ops/fused_rollout.py). 0 ⇒ the rollout is byte-exact vs this engine;
-    # always 0 here (the vmap engine regenerates every step).
+    reset_overlaps: jnp.ndarray = 0  # () int32 — count of resets the
+    # packed regen engine DEFERRED to a re-entry pass because the lane's
+    # in-chunk fresh template was already consumed (ops/fused_rollout.py
+    # freeze/resume commit protocol). Deferred resets are replayed exactly
+    # (extra kernel passes, not a distribution deviation); the counter
+    # reports the extra work. Always 0 here (the vmap engine regenerates
+    # every step).
 
 
 class Transition(NamedTuple):

@@ -42,10 +42,11 @@ template auto-reset. Two modes, matching `core.autoreset`:
     minigrid.py:~722-748). Deterministic-layout families (fixed Empty /
     DistShift) reset to the static template (identical by construction)
     with the per-env rng chain replayed host-side (`_replay_rng_chain`);
-    random-layout families run the chunked template-refresh scheme
+    random-layout families run the exact chunked template-refresh scheme
     (`_build_chunked_regen`): every reset consumes a pre-generated fresh
-    layout, refreshed per `regen_chunk` steps — byte-exact vs the vmap
-    regen path whenever `metrics.reset_overlaps == 0`.
+    layout (refreshed per `regen_chunk` steps for consumed lanes only;
+    in-chunk repeat resets deferred to a re-entry pass) — byte-exact vs
+    the vmap regen path for any `regen_chunk`.
   * mode="cached" — every reset replays ONE pinned layout per lane:
     byte-for-byte `core.rollout.build_rollout(..., autoreset_mode="cached")`.
 
@@ -353,6 +354,9 @@ def _step_core(
     remap_action=None,  # packed_hooks.ACTION_REMAPS entry (or None)
     pre_hook=None,  # built packed_hooks.PRE_HOOK_FACTORIES entry (or None)
     with_obs=False,  # also return the post-step (vw, vis) view
+    chunk_ctl=None,  # (3, B) int32 [consumed; steps_done; frozen] — the
+    # exact-chunked-regen commit protocol (see below); None outside it
+    chunk_len=None,  # static chunk length tc (required with chunk_ctl)
     ablate=frozenset(),  # profiling only (tools/profile_packed.py): stage
     # names to skip — "fwdwrite", "roll", "reset", "obs" — so the pruned
     # kernel's runtime attributes per-stage cost. NEVER set in production.
@@ -362,6 +366,21 @@ def _step_core(
     Returns `(words2, regs2, reward(1,B) f32, done(1,B) bool, obs_sum(1,B))`.
     Pure jnp on (rows, B) arrays — runs identically inside the Pallas kernel
     (values loaded from VMEM refs) and in the XLA scan body.
+
+    Exact chunked regen (`chunk_ctl`): reference regen semantics give every
+    reset a BRAND-NEW layout (minigrid.py:~722-748), but one chunk
+    invocation carries only ONE fresh template per lane. The commit
+    protocol makes that exact anyway: a lane whose episode ends while its
+    template is already consumed (`consumed == 1`) FREEZES — the whole
+    step is discarded (state, reward, done, obs checksum) and re-executed
+    bit-identically on the next invocation, after the outer loop
+    (`_build_chunked_regen`) has advanced its chain and installed the
+    fresh layout the reference demands. `chunk_ctl` rows: `consumed`
+    (0/1, this invocation's template used), `steps_done` (steps committed
+    toward `chunk_len` this chunk — the lane's global action-stream
+    cursor), `frozen` (0/1, lane stopped for this invocation). A lane
+    commits steps strictly in order, so within one invocation the lanes'
+    committed steps are a prefix of the (per-lane pre-shifted) action rows.
 
     Layout: `words` is AGENT-CENTERED — row s of lane b holds world cell
     `(base_b + s) % HW` where `base_b = y_b·W + x_b` is the agent's flat
@@ -377,6 +396,9 @@ def _step_core(
     off_fwd, _, _, _ = _dir_tables(width, height, view)
 
     iota_hw = lax.broadcasted_iota(jnp.int32, (hw, 1), 0)  # (HW, 1)
+
+    assert (chunk_ctl is None) == (chunk_len is None)
+    words_in, regs_in = words, regs  # pre-everything (commit revert target)
 
     a_orig = a
     if remap_action is not None:
@@ -543,6 +565,32 @@ def _step_core(
         [x2, y2, d2, ct2, cc2, cct2, ccc2, sc2, tail2], axis=0
     )
 
+    # ---- exact-chunked-regen commit protocol (see docstring) --------------
+    commit = None
+    if chunk_ctl is not None:
+        consumed = chunk_ctl[0:1, :]
+        steps_done = chunk_ctl[1:2, :]
+        frozen = chunk_ctl[2:3, :]
+        active = (steps_done < chunk_len) & (frozen == 0)
+        # A done while the invocation's fresh template is already consumed
+        # would have to REUSE it (a layout the reference never produces) —
+        # freeze instead: discard this step wholesale; the outer loop
+        # re-executes it bit-identically with a fresh template installed.
+        freeze_now = active & done & (consumed == 1)
+        commit = active & ~freeze_now
+        words2 = jnp.where(commit, words2, words_in)
+        regs2 = jnp.where(commit, regs2, regs_in)
+        done = done & commit
+        reward = jnp.where(commit, reward, 0.0)
+        chunk_ctl2 = jnp.concatenate(
+            [
+                jnp.where(done, 1, consumed),
+                steps_done + commit.astype(jnp.int32),
+                frozen | freeze_now.astype(jnp.int32),
+            ],
+            axis=0,
+        )
+
     # ---- post-step observation (the next policy input) --------------------
     if "obs" in ablate:
         vw = jnp.zeros((view * view, words.shape[1]), jnp.int32)
@@ -563,9 +611,16 @@ def _step_core(
         tcs = (vw & 15) + ((vw >> 4) & 15) + ((vw >> 8) & 15)
         obs_sum = jnp.sum(tcs * vis, axis=0, keepdims=True)
 
+    out = (words2, regs2, reward, done)
+    if chunk_ctl is not None:
+        # Only committed steps contribute to the checksum (the obs above is
+        # computed from the already-reverted state for frozen lanes).
+        out += (jnp.where(commit, obs_sum, 0), chunk_ctl2)
+    else:
+        out += (obs_sum,)
     if with_obs:
-        return words2, regs2, reward, done, obs_sum, vw, vis
-    return words2, regs2, reward, done, obs_sum
+        out += (vw, vis)
+    return out
 
 
 def _obs_core(
@@ -670,25 +725,7 @@ def packed_obs_image(vw: jnp.ndarray, vis: jnp.ndarray, view: int) -> jnp.ndarra
 
 
 def _rollout_kernel(
-    # inputs
-    words0_ref,
-    regs0_ref,
-    tmpl_words_ref,
-    tmpl_regs_ref,
-    actions_ref,
-    sel_ref,  # (4 + 4V², HW) f32 row-selection matrix (dummy when unused)
-    # outputs
-    words_out_ref,
-    regs_out_ref,
-    rsum_ref,
-    counts_ref,
-    # scratch (persists across grid iterations)
-    words_s,
-    regs_s,
-    rsum_s,
-    epi_s,
-    csum_s,
-    *,
+    *refs,
     width: int,
     height: int,
     view: int,
@@ -700,7 +737,30 @@ def _rollout_kernel(
     pre_hook=None,
     ablate=frozenset(),
     matmul_reader: bool = False,
+    chunk_exact: bool = False,
 ):
+    """Ref order: inputs (words0, regs0, tmpl_words, tmpl_regs, actions,
+    sel[, ctl0]), outputs (words, regs, rsum, counts[, ctl]), scratch
+    (words, regs, rsum, epi, csum[, ctl]). `sel` is the (4+4V², HW) f32
+    row-selection matrix (dummy when the matmul reader is off); the `ctl`
+    blocks are the (3, B) exact-chunked-regen commit state (`_step_core`'s
+    `chunk_ctl`), present iff `chunk_exact`."""
+    if chunk_exact:
+        (
+            words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref,
+            actions_ref, sel_ref, ctl0_ref,
+            words_out_ref, regs_out_ref, rsum_ref, counts_ref, ctl_out_ref,
+            words_s, regs_s, rsum_s, epi_s, csum_s, ctl_s,
+        ) = refs
+    else:
+        (
+            words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref,
+            actions_ref, sel_ref,
+            words_out_ref, regs_out_ref, rsum_ref, counts_ref,
+            words_s, regs_s, rsum_s, epi_s, csum_s,
+        ) = refs
+        ctl0_ref = ctl_out_ref = ctl_s = None
+
     # First step-chunk for this batch block: load state, zero accumulators.
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -709,6 +769,8 @@ def _rollout_kernel(
         rsum_s[:] = jnp.zeros_like(rsum_s)
         epi_s[:] = jnp.zeros_like(epi_s)
         csum_s[:] = jnp.zeros_like(csum_s)
+        if chunk_exact:
+            ctl_s[:] = ctl0_ref[:]
 
     tmpl_words = tmpl_words_ref[:]
     tmpl_regs = tmpl_regs_ref[:]
@@ -733,7 +795,7 @@ def _rollout_kernel(
 
     def step(t, _):
         a = actions_ref[pl.ds(t, 1), :]  # (1, Bt) int32
-        words2, regs2, reward, done, obs_sum = _step_core(
+        out = _step_core(
             words_s[:],
             regs_s[:],
             a,
@@ -748,8 +810,15 @@ def _rollout_kernel(
             hook=hook,
             remap_action=remap_action,
             pre_hook=pre_hook,
+            chunk_ctl=ctl_s[:] if chunk_exact else None,
+            chunk_len=step_chunk if chunk_exact else None,
             ablate=ablate,
         )
+        if chunk_exact:
+            words2, regs2, reward, done, obs_sum, ctl2 = out
+            ctl_s[:] = ctl2
+        else:
+            words2, regs2, reward, done, obs_sum = out
         words_s[:] = words2
         regs_s[:] = regs2
         rsum_s[:] = rsum_s[:] + reward
@@ -766,6 +835,8 @@ def _rollout_kernel(
     regs_out_ref[:] = regs_s[:]
     rsum_ref[:] = rsum_s[:]
     counts_ref[:] = jnp.concatenate([epi_s[:], csum_s[:]], axis=0)
+    if chunk_exact:
+        ctl_out_ref[:] = ctl_s[:]
 
 
 # --------------------------------------------------------------------------
@@ -833,11 +904,10 @@ def fused_rollout_supported(
     or has a registered packed hook (packed_hooks.py). mode="cached" is
     byte-exact vs `build_rollout(..., autoreset_mode="cached")`; for
     mode="regen", deterministic-layout families are exact via the static
-    template, and random-layout families run the chunked template-refresh
-    scheme (fresh layout per reset, pre-generated once per `regen_chunk`
-    steps) — exact whenever no lane resets twice within one chunk, which
-    the `reset_overlaps` metric counts (0 ⇒ byte-exact; `regen_chunk=1`
-    forces exactness unconditionally).
+    template, and random-layout families run the exact chunked
+    template-refresh scheme (`_build_chunked_regen`: fresh layout per
+    reset; in-chunk repeat resets deferred to a re-entry pass) — byte-exact
+    vs the vmap regen path for ANY `regen_chunk`.
     """
     cfg = env.config
     if not _has_packed_step(env):
@@ -965,10 +1035,12 @@ class PackedCarry(NamedTuple):
     """Opaque device state threaded between carry-API rollout calls.
 
     `words`/`regs` are the live packed state (agent-centered rolled
-    layout); `tmpl_*` the auto-reset template (None in chunked-regen mode,
-    which regenerates templates per chunk); `rng` the `(B, 2)` uint32
-    regen reset-chain position (`EnvState.rng` semantics — the register
-    file's rng rows only hold the LAST reset's key, which lags it).
+    layout); `tmpl_*` the auto-reset template — the pinned layout in
+    cached mode, and in chunked-regen mode each lane's NEXT fresh layout
+    (invariant `tmpl == generate(rng)` per lane, maintained incrementally
+    by `_masked_template_refresh`); `rng` the `(B, 2)` uint32 regen
+    reset-chain position (`EnvState.rng` semantics — the register file's
+    rng rows only hold the LAST reset's key, which lags it).
     """
 
     words: jnp.ndarray
@@ -979,11 +1051,11 @@ class PackedCarry(NamedTuple):
 
 
 def packed_init(env: Env, states: EnvState, mode: str = "regen") -> PackedCarry:
-    """Pack a batched `EnvState` into a `PackedCarry` (one-time cost)."""
-    cfg = env.config
-    if mode == "regen" and not _regen_is_static(env):
-        words0, regs0 = _pack_rolled(cfg, states)
-        return PackedCarry(words0, regs0, None, None, states.rng)
+    """Pack a batched `EnvState` into a `PackedCarry` (one-time cost).
+
+    In every mode the carry holds a template per lane: chunked-regen mode
+    seeds it with `generate(state.rng)` — each lane's next fresh layout —
+    after which `_build_chunked_regen` maintains it incrementally."""
     words0, regs0, tmpl_words, tmpl_regs = _prepare_packed(env, states, mode)
     return PackedCarry(words0, regs0, tmpl_words, tmpl_regs, states.rng)
 
@@ -1005,7 +1077,9 @@ def _wrap_legacy(env: Env, mode: str, step_carry):
     return rollout
 
 
-def _make_plain_carry_step(env: Env, num_steps: int, mode: str, run_core):
+def _make_plain_carry_step(
+    env: Env, num_steps: int, mode: str, run_core, actions_override=None
+):
     """Carry step for the static-template paths (cached mode, or regen on
     deterministic-layout families).
 
@@ -1016,7 +1090,7 @@ def _make_plain_carry_step(env: Env, num_steps: int, mode: str, run_core):
 
     def step_carry(key: jax.Array, carry: PackedCarry):
         b = carry.words.shape[1]
-        actions = _action_stream_b(env, num_steps, key, b)
+        actions = _action_stream_b(env, num_steps, key, b, actions_override)
         words_f, regs_f, rsum, epi, csum = run_core(
             carry.words, carry.regs, carry.tmpl_words, carry.tmpl_regs, actions
         )
@@ -1043,85 +1117,187 @@ def _make_plain_carry_step(env: Env, num_steps: int, mode: str, run_core):
     return step_carry
 
 
-def _action_stream_b(env: Env, num_steps: int, key, b: int):
-    """`_action_stream` from a bare batch size (carry API — no EnvState)."""
+def _action_stream_b(env: Env, num_steps: int, key, b: int, override=None):
+    """`_action_stream` from a bare batch size (carry API — no EnvState).
+
+    `override` (a `(T, B)` or `(T,)` int array) replaces the random-policy
+    stream — the scripted-solution tests drive the engines with hand-planned
+    solves through it (a `(T,)` script broadcasts across lanes)."""
+    if override is not None:
+        actions = jnp.asarray(override, jnp.int32)
+        if actions.ndim == 1:
+            actions = jnp.broadcast_to(actions[:, None], (num_steps, b))
+        return actions
     policy = random_policy(env.config.num_actions)
     keys = jax.random.split(key, num_steps)
     actions = jax.vmap(lambda k: policy(k, jnp.zeros((b, 1), jnp.int32)))(keys)
     return actions.astype(jnp.int32)
 
 
-def _build_chunked_regen(env: Env, num_steps: int, tc: int, chunk_fn):
+def _refresh_block_size(b: int) -> int:
+    """Default compaction block for `_masked_template_refresh`."""
+    return max(128, b // 8)
+
+
+def _masked_template_refresh(
+    env: Env, tw: jnp.ndarray, tr: jnp.ndarray, cur_rng: jnp.ndarray,
+    consumed: jnp.ndarray, block: int,
+):
+    """Regenerate the reset templates of `consumed` lanes ONLY.
+
+    Invariant served: `(tw, tr)[lane] == _pack_rolled(generate(cur_rng[lane]))`
+    — the layout the lane's NEXT reset must produce (core/autoreset.py
+    regen: `fresh = generate(state.rng)`). A reset advances the lane's
+    chain, staling its template; unconsumed lanes' templates stay valid, so
+    regenerating the full batch (one `vmap(generate)` over B — the old
+    scheme's fixed per-chunk cost) wastes `generate` work on every lane
+    that didn't reset. Instead consumed lanes are COMPACTED to the front
+    (one stable argsort), regenerated in `block`-lane slices under a
+    while_loop (`ceil(count / block)` rounds — ZERO when nothing reset),
+    and scattered back. Generation cost is thus proportional to the actual
+    reset demand (one layout per reset — the reference's own semantics),
+    not to B; on generation-bound procedural families (MultiRoom,
+    KeyCorridor) this is the regen-mode bottleneck (BASELINE.md).
+
+    The final (clamped) slice may straddle already-refreshed lanes; the
+    rewrite is idempotent (`generate` is a pure function of `cur_rng`), so
+    duplicates are harmless.
+
+    Args:
+      consumed: `(B,)` bool — lanes whose chain advanced this invocation.
+    Returns the refreshed `(tw, tr)`.
+    """
+    cfg = env.config
+    b = tw.shape[1]
+    block = min(block, b)
+    gen_block = jax.vmap(lambda k: env.generate(k, cfg))
+    count = jnp.sum(consumed.astype(jnp.int32))
+    order = jnp.argsort(jnp.where(consumed, 0, 1), stable=True).astype(jnp.int32)
+
+    def cond(st):
+        return st[0] * block < count
+
+    def body(st):
+        r, tw, tr = st
+        start = jnp.minimum(r * block, b - block)
+        idx = lax.dynamic_slice(order, (start,), (block,))  # (block,) lanes
+        mask = consumed[idx][None, :]  # (1, block)
+        fw, fr = _pack_rolled(cfg, gen_block(cur_rng[idx]))
+        tw = tw.at[:, idx].set(jnp.where(mask, fw, tw[:, idx]))
+        tr = tr.at[:, idx].set(jnp.where(mask, fr, tr[:, idx]))
+        return r + 1, tw, tr
+
+    _, tw, tr = lax.while_loop(cond, body, (jnp.int32(0), tw, tr))
+    return tw, tr
+
+
+def _build_chunked_regen(
+    env: Env, num_steps: int, tc: int, chunk_fn, refresh_block=None,
+    actions_override=None,
+):
     """Reference-faithful regen auto-reset for RANDOM-layout families on the
-    packed engines, via chunked template refresh.
+    packed engines — UNCONDITIONALLY byte-exact vs the vmap regen path.
 
     The reference resamples a brand-new layout on every reset
     (`reset()` → `_gen_grid`, minigrid.py:~722-748). Generating layouts
     inside the lockstep step loop would pay full generation cost every step
-    (the vmap regen engine's bottleneck); instead the rollout runs in chunks
-    of `tc` steps and each lane carries ONE pre-generated "next layout"
-    template, refreshed between chunks:
+    (the vmap regen engine's bottleneck); instead the rollout runs in
+    chunks of `tc` steps and each lane carries ONE pre-generated "next
+    layout" template (`PackedCarry.tmpl_*`, invariant
+    `tmpl == generate(cur_rng)`), consumed by its first in-chunk reset.
 
-      * before chunk j, each lane's template is `generate(cur_rng)` — by the
-        reset-chain invariant this is exactly the layout the NEXT reset of
-        that lane must produce (core/autoreset.py regen:
-        `fresh = generate(state.rng)`, and `state.rng` is only advanced — to
-        `generate(rng).rng` — by a reset);
-      * inside the chunk, the kernel's template auto-reset consumes it;
-      * after the chunk, lanes that reset k times advance their chain by k
-        (`_replay_rng_chain`, rng-leaf-only — XLA dead-code-eliminates the
-        layout math).
+    Second-and-later resets within a chunk — which the old scheme silently
+    served the stale template (a layout distribution the reference never
+    produces, VERDICT r3 #2) — are handled by `_step_core`'s commit
+    protocol: the lane FREEZES (the step is discarded, not played), and a
+    re-entry `lax.while_loop` advances frozen lanes' chains, installs
+    their fresh layouts, pre-shifts each lane's action rows to its commit
+    cursor (`steps_done`), and re-runs the kernel until every lane has
+    committed all `tc` steps. Every committed step is bit-identical to the
+    vmap path's step at the same global index, for ANY `regen_chunk`. The
+    common case (no lane resets twice) runs exactly one kernel pass; each
+    deferred reset is counted in `metrics.reset_overlaps` (now an exact-
+    but-deferred-work counter, not an exactness caveat).
 
-    Exactness: byte-identical to `build_rollout(..., autoreset_mode="regen")`
-    unless some lane resets ≥2 times within one chunk (the 2nd+ reset reuses
-    the chunk's template — a fresh layout for it was never materialized).
-    Such events are counted in `metrics.reset_overlaps`; 0 ⇒ exact.
-    `regen_chunk=1` makes overlaps impossible (template refresh every step —
-    the exactness-over-speed setting used by the equivalence tests).
+    Between passes only CONSUMED lanes' templates are regenerated
+    (`_masked_template_refresh` — compacted, demand-proportional), which is
+    also what makes regen-mode throughput track the true reset demand
+    instead of paying one full-batch `vmap(generate)` per chunk.
 
-    `chunk_fn(words, regs, tmpl_words, tmpl_regs, actions_chunk)` runs `tc`
-    packed steps and returns `(words', regs', rsum, episodes, csum)` with
-    the three accumulators as `(1, B)` per-lane totals for the chunk.
+    `chunk_fn(words, regs, tmpl_words, tmpl_regs, actions_chunk, ctl0)`
+    runs `tc` packed steps under the commit protocol and returns
+    `(words', regs', ctl, rsum, episodes, csum)` with the accumulators as
+    `(1, B)` per-lane totals of COMMITTED steps.
 
     Returns the CARRY-form step (`step_carry(key, carry)`); wrap with
     `_wrap_legacy` for the `rollout(key, states)` surface.
     """
     cfg = env.config
     n_chunks = num_steps // tc
-    gen_batch = jax.vmap(lambda k: env.generate(k, cfg))
-    chain_step = jax.vmap(lambda k: env.generate(k, cfg).rng)
+    t_iota = jnp.arange(tc, dtype=jnp.int32)[:, None]  # (tc, 1)
 
     def step_carry(key: jax.Array, carry: PackedCarry):
         words0, regs0 = carry.words, carry.regs
         b = words0.shape[1]
-        actions = _action_stream_b(env, num_steps, key, b)
+        block = refresh_block or _refresh_block_size(b)
+        actions = _action_stream_b(env, num_steps, key, b, actions_override)
         actions = actions.reshape(n_chunks, tc, b)
+        assert carry.tmpl_words is not None, (
+            "chunked-regen carry has no templates — build it with "
+            "packed_init(env, states, mode='regen')"
+        )
 
-        def body(carry, a_chunk):
-            words, regs, cur_rng, m = carry
-            tmpl_words, tmpl_regs = _pack_rolled(cfg, gen_batch(cur_rng))
-            words2, regs2, rsum, epi, csum = chunk_fn(
-                words, regs, tmpl_words, tmpl_regs, a_chunk
+        def chunk_body(ch_carry, a_chunk):
+            def pass_cond(st):
+                return jnp.any(st[5] < tc)  # steps_done
+
+            def pass_body(st):
+                words, regs, tw, tr, cur_rng, steps_done, m = st
+                # Per-lane action alignment: a lane's i-th committed step
+                # of this chunk uses global action row i — pre-shift each
+                # lane's rows to its commit cursor so kernel row s is
+                # global row steps_done + s for every lane.
+                rows = jnp.minimum(steps_done + t_iota, tc - 1)  # (tc, B)
+                a_shift = jnp.take_along_axis(a_chunk, rows, axis=0)
+                ctl0 = jnp.concatenate(
+                    [
+                        jnp.zeros((1, b), jnp.int32),
+                        steps_done,
+                        jnp.zeros((1, b), jnp.int32),
+                    ],
+                    axis=0,
+                )
+                words, regs, ctl, rsum, epi, csum = chunk_fn(
+                    words, regs, tw, tr, a_shift, ctl0
+                )
+                consumed = ctl[0] == 1  # (B,)
+                # Consumed lanes' chains advance one link — to the subkey
+                # the template generator stored (generate(rng).rng), which
+                # the in-kernel reset also installed in the live regs.
+                cur_rng = jnp.where(
+                    consumed[:, None], rows_key(tr[R_RNG : R_RNG + 2]), cur_rng
+                )
+                tw, tr = _masked_template_refresh(
+                    env, tw, tr, cur_rng, consumed, block
+                )
+                m = RolloutMetrics(
+                    episodes=m.episodes + jnp.sum(epi),
+                    total_reward=m.total_reward + jnp.sum(rsum),
+                    total_steps=m.total_steps,
+                    obs_checksum=m.obs_checksum + jnp.sum(csum),
+                    reset_overlaps=m.reset_overlaps + jnp.sum(ctl[2]),
+                )
+                return (words, regs, tw, tr, cur_rng, ctl[1:2, :], m)
+
+            words, regs, tw, tr, cur_rng, m = ch_carry
+            steps_done0 = jnp.zeros((1, b), jnp.int32)
+            words, regs, tw, tr, cur_rng, _, m = lax.while_loop(
+                pass_cond,
+                pass_body,
+                (words, regs, tw, tr, cur_rng, steps_done0, m),
             )
-            # Advance each lane's reset chain by its in-chunk reset count.
-            # The first link is already in the template's rng rows; replay
-            # only the (rare) extra links.
-            consumed = epi[0] >= 1
-            rng1 = jnp.where(
-                consumed[:, None], rows_key(tmpl_regs[R_RNG : R_RNG + 2]), cur_rng
-            )
-            new_rng = _replay_rng_chain_fn(
-                chain_step, rng1, jnp.maximum(epi[0] - 1, 0)
-            )
-            m = RolloutMetrics(
-                episodes=m.episodes + jnp.sum(epi),
-                total_reward=m.total_reward + jnp.sum(rsum),
-                total_steps=m.total_steps + b * tc,
-                obs_checksum=m.obs_checksum + jnp.sum(csum),
-                reset_overlaps=m.reset_overlaps
-                + jnp.sum((epi[0] >= 2).astype(jnp.int32)),
-            )
-            return (words2, regs2, new_rng, m), None
+            m = m._replace(total_steps=m.total_steps + b * tc)
+            return (words, regs, tw, tr, cur_rng, m), None
 
         m0 = RolloutMetrics(
             episodes=jnp.zeros((), jnp.int32),
@@ -1130,13 +1306,15 @@ def _build_chunked_regen(env: Env, num_steps: int, tc: int, chunk_fn):
             obs_checksum=jnp.zeros((), jnp.int32),
             reset_overlaps=jnp.zeros((), jnp.int32),
         )
-        (words_f, regs_f, rng_f, metrics), _ = lax.scan(
-            body, (words0, regs0, carry.rng, m0), actions
+        (words_f, regs_f, tw_f, tr_f, rng_f, metrics), _ = lax.scan(
+            chunk_body,
+            (words0, regs0, carry.tmpl_words, carry.tmpl_regs, carry.rng, m0),
+            actions,
         )
         # `rng_f` is the exact reset-chain position per lane (= the regen
-        # autoreset's state.rng); the register rows only hold the last
-        # reset's key, which lags for lanes that overlapped.
-        return PackedCarry(words_f, regs_f, None, None, rng_f), metrics
+        # autoreset's state.rng); `tmpl_*` stay valid for the next call
+        # (invariant: tmpl == generate(rng_f) per lane).
+        return PackedCarry(words_f, regs_f, tw_f, tr_f, rng_f), metrics
 
     return step_carry
 
@@ -1149,9 +1327,11 @@ def build_fused_rollout(
     mode: str = "regen",
     interpret: Optional[bool] = None,
     regen_chunk: int = 32,
+    refresh_block: Optional[int] = None,
     _ablate: frozenset = frozenset(),
     as_carry: bool = False,
     row_reader: str = "auto",
+    actions_override=None,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
     single-pallas_call backend — or, with `as_carry=True`, the
@@ -1177,11 +1357,15 @@ def build_fused_rollout(
     is asserted by tests/test_fused_rollout.py; measured speedup vs the
     vmap path is recorded in BENCH_*.json by bench.py.
 
-    mode="regen" on random-layout families runs the chunked
+    mode="regen" on random-layout families runs the exact chunked
     template-refresh scheme (`_build_chunked_regen`): the kernel executes
-    `regen_chunk` steps per invocation under an outer scan that swaps in
-    each lane's next fresh layout between invocations. Exact unless a lane
-    resets twice within one chunk (counted in `metrics.reset_overlaps`).
+    `regen_chunk` steps per invocation under an outer scan that installs
+    each lane's next fresh layout between invocations; in-chunk repeat
+    resets are deferred to a re-entry pass (freeze/resume commit protocol)
+    so the result is byte-exact vs the vmap regen path for ANY
+    `regen_chunk` (`metrics.reset_overlaps` counts the deferred resets —
+    extra kernel passes, not an exactness caveat). `refresh_block` sizes
+    the compacted template-regeneration slices (default `max(128, B/8)`).
     """
     if not fused_rollout_supported(env, mode=mode):
         raise ValueError(
@@ -1202,6 +1386,10 @@ def build_fused_rollout(
     if row_reader not in ("auto", "slices", "matmul"):
         raise ValueError(f"unknown row_reader {row_reader!r}")
     use_mm = row_reader == "matmul"
+    # The kernel's matmul reader keys the [fwd(4); view(4V²)] selection
+    # sub-matrix off len(rows), which would alias at V == 1 (4V² == 4).
+    # EnvConfig asserts V odd and ≥ 3, so this is belt-and-braces.
+    assert cfg.agent_view_size > 1, "row_reader='matmul' requires view > 1"
     v0 = cfg.agent_view_size
     sel_bytes = (4 + 4 * v0 * v0) * hw * 4 if use_mm else 8 * 128 * 4
     auto_bt = _auto_lane_block(hw, tc, fixed_bytes=sel_bytes)
@@ -1235,9 +1423,12 @@ def build_fused_rollout(
         pre_hook=pre_hook,
         ablate=_ablate,
         matmul_reader=use_mm,
+        chunk_exact=refresh,
     )
 
-    def pallas_run(words0, regs0, tmpl_words, tmpl_regs, actions, n_chunks):
+    def pallas_run(
+        words0, regs0, tmpl_words, tmpl_regs, actions, n_chunks, ctl0=None
+    ):
         b = words0.shape[1]
         bt = min(lane_block, b)
         if b % bt:
@@ -1245,53 +1436,68 @@ def build_fused_rollout(
         state_block = lambda rows: pl.BlockSpec((rows, bt), lambda i, j: (0, i))
         action_block = pl.BlockSpec((tc, bt), lambda i, j: (j, i))
         sel_block = pl.BlockSpec(sel_np.shape, lambda i, j: (0, 0))
+        in_specs = [
+            state_block(hw),
+            state_block(NUM_REGS),
+            state_block(hw),
+            state_block(NUM_REGS),
+            action_block,
+            sel_block,
+        ]
+        out_specs = [
+            state_block(hw),
+            state_block(NUM_REGS),
+            state_block(1),
+            state_block(2),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((hw, b), jnp.int32),
+            jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+            jax.ShapeDtypeStruct((2, b), jnp.int32),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((hw, bt), jnp.int32),
+            pltpu.VMEM((NUM_REGS, bt), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.float32),
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
+        ]
+        operands = [words0, regs0, tmpl_words, tmpl_regs, actions,
+                    jnp.asarray(sel_np)]
+        if ctl0 is not None:
+            in_specs.append(state_block(3))
+            out_specs.append(state_block(3))
+            out_shape.append(jax.ShapeDtypeStruct((3, b), jnp.int32))
+            scratch_shapes.append(pltpu.VMEM((3, bt), jnp.int32))
+            operands.append(ctl0)
         return pl.pallas_call(
             kernel,
             grid=(b // bt, n_chunks),
-            in_specs=[
-                state_block(hw),
-                state_block(NUM_REGS),
-                state_block(hw),
-                state_block(NUM_REGS),
-                action_block,
-                sel_block,
-            ],
-            out_specs=[
-                state_block(hw),
-                state_block(NUM_REGS),
-                state_block(1),
-                state_block(2),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((hw, b), jnp.int32),
-                jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
-                jax.ShapeDtypeStruct((1, b), jnp.float32),
-                jax.ShapeDtypeStruct((2, b), jnp.int32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((hw, bt), jnp.int32),
-                pltpu.VMEM((NUM_REGS, bt), jnp.int32),
-                pltpu.VMEM((1, bt), jnp.float32),
-                pltpu.VMEM((1, bt), jnp.int32),
-                pltpu.VMEM((1, bt), jnp.int32),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 # Batch blocks (i) are independent — only the step-chunk
                 # dim (j) carries state (scratch persists across j).
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(words0, regs0, tmpl_words, tmpl_regs, actions, jnp.asarray(sel_np))
+        )(*operands)
 
     if refresh:
 
-        def chunk_fn(words, regs, tmpl_words, tmpl_regs, a_chunk):
-            words_f, regs_f, rsum, counts = pallas_run(
-                words, regs, tmpl_words, tmpl_regs, a_chunk, 1
+        def chunk_fn(words, regs, tmpl_words, tmpl_regs, a_chunk, ctl0):
+            words_f, regs_f, rsum, counts, ctl = pallas_run(
+                words, regs, tmpl_words, tmpl_regs, a_chunk, 1, ctl0
             )
-            return words_f, regs_f, rsum, counts[0:1], counts[1:2]
+            return words_f, regs_f, ctl, rsum, counts[0:1], counts[1:2]
 
-        step_carry = _build_chunked_regen(env, num_steps, tc, chunk_fn)
+        step_carry = _build_chunked_regen(
+            env, num_steps, tc, chunk_fn, refresh_block=refresh_block,
+            actions_override=actions_override,
+        )
     else:
 
         def run_core(words, regs, tmpl_words, tmpl_regs, actions):
@@ -1300,7 +1506,9 @@ def build_fused_rollout(
             )
             return words_f, regs_f, rsum, counts[0:1], counts[1:2]
 
-        step_carry = _make_plain_carry_step(env, num_steps, mode, run_core)
+        step_carry = _make_plain_carry_step(
+            env, num_steps, mode, run_core, actions_override
+        )
 
     if as_carry:
         return step_carry
@@ -1312,7 +1520,9 @@ def build_packed_xla_rollout(
     num_steps: int,
     mode: str = "regen",
     regen_chunk: int = 32,
+    refresh_block: Optional[int] = None,
     as_carry: bool = False,
+    actions_override=None,
 ):
     """Returns `rollout(key, states) -> (states, RolloutMetrics)` — the
     packed-lane layout under a plain `lax.scan` (no Pallas). With
@@ -1347,34 +1557,48 @@ def build_packed_xla_rollout(
         pre_hook=pre_hook,
     )
 
-    def scan_chunk(words, regs, tmpl_words, tmpl_regs, actions):
+    def scan_chunk(words, regs, tmpl_words, tmpl_regs, actions, ctl0=None):
         b = words.shape[1]
         zeros_f = jnp.zeros((1, b), jnp.float32)
         zeros_i = jnp.zeros((1, b), jnp.int32)
+        chunk_len = actions.shape[0] if ctl0 is not None else None
 
         def body(carry, a_t):
-            words, regs, rsum, epi, csum = carry
-            words2, regs2, reward, done, obs_sum = step_math(
-                words, regs, a_t[None, :], tmpl_words, tmpl_regs
+            words, regs, ctl, rsum, epi, csum = carry
+            out = step_math(
+                words, regs, a_t[None, :], tmpl_words, tmpl_regs,
+                chunk_ctl=ctl, chunk_len=chunk_len,
             )
+            if ctl0 is not None:
+                words2, regs2, reward, done, obs_sum, ctl = out
+            else:
+                words2, regs2, reward, done, obs_sum = out
             return (
                 words2,
                 regs2,
+                ctl,
                 rsum + reward,
                 epi + done.astype(jnp.int32),
                 csum + obs_sum,
             ), None
 
-        (words_f, regs_f, rsum, epi, csum), _ = lax.scan(
-            body, (words, regs, zeros_f, zeros_i, zeros_i), actions
+        (words_f, regs_f, ctl, rsum, epi, csum), _ = lax.scan(
+            body, (words, regs, ctl0, zeros_f, zeros_i, zeros_i), actions
         )
+        if ctl0 is not None:
+            return words_f, regs_f, ctl, rsum, epi, csum
         return words_f, regs_f, rsum, epi, csum
 
     if mode == "regen" and not _regen_is_static(env):
         tc = _fit_chunk(num_steps, regen_chunk)
-        step_carry = _build_chunked_regen(env, num_steps, tc, scan_chunk)
+        step_carry = _build_chunked_regen(
+            env, num_steps, tc, scan_chunk, refresh_block=refresh_block,
+            actions_override=actions_override,
+        )
     else:
-        step_carry = _make_plain_carry_step(env, num_steps, mode, scan_chunk)
+        step_carry = _make_plain_carry_step(
+            env, num_steps, mode, scan_chunk, actions_override
+        )
 
     if as_carry:
         return step_carry

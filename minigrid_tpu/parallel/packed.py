@@ -34,7 +34,6 @@ from minigrid_tpu.core.state import EnvState
 from minigrid_tpu.envs.base import Env
 from minigrid_tpu.ops.fused_rollout import (
     PackedCarry,
-    _regen_is_static,
     build_fused_rollout,
     build_packed_xla_rollout,
     fused_rollout_supported,
@@ -127,15 +126,14 @@ def build_sharded_rollout(
 
     if as_carry:
         # Packed layouts carry the batch in the LANE (last) axis; only the
-        # rng key block is batch-major. Chunked-regen carries have no
-        # template (None ⇒ empty subtree in both specs and values).
-        has_tmpl = not (mode == "regen" and not _regen_is_static(env))
+        # rng key block is batch-major. Every mode carries templates
+        # (chunked-regen keeps each lane's next fresh layout in them).
         lane = P(None, ENV_AXIS)
         state_spec = PackedCarry(
             words=lane,
             regs=lane,
-            tmpl_words=lane if has_tmpl else None,
-            tmpl_regs=lane if has_tmpl else None,
+            tmpl_words=lane,
+            tmpl_regs=lane,
             rng=P(ENV_AXIS),
         )
     else:

@@ -54,13 +54,8 @@ def init_train_state(key: jax.Array, env: Env, mesh: Mesh) -> TrainState:
     )
 
 
-def _trajectory_loss(model, params, traj, gamma, value_coef, entropy_coef):
-    """Actor-critic loss + metrics over a `(obs, actions, logp, value,
-    reward, done)` trajectory with (T, B) leading axes. Shared verbatim by
-    the vmap and packed train steps so their updates are identical given
-    identical trajectories."""
-    obs, actions, logp_b, value, reward, done = traj
-    # Discounted returns computed backward over the scan axis (T, B).
+def _trajectory_returns(reward, done, gamma):
+    """Discounted returns computed backward over the scan axis (T, B)."""
     not_done = 1.0 - done.astype(jnp.float32)
 
     def disc(carry, xs):
@@ -71,25 +66,81 @@ def _trajectory_loss(model, params, traj, gamma, value_coef, entropy_coef):
     _, returns = lax.scan(
         disc, jnp.zeros_like(reward[0]), (reward, not_done), reverse=True
     )
-    adv = returns - value
-    logits, value_now = model.apply(params, obs)  # re-eval for grads
-    logp_all = jax.nn.log_softmax(logits)
-    logp = jnp.take_along_axis(logp_all, actions[..., None], axis=-1)[..., 0]
-    entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+    return returns
 
-    pg_loss = -jnp.mean(logp * lax.stop_gradient(adv))
-    v_loss = jnp.mean((value_now - lax.stop_gradient(returns)) ** 2)
-    ent = jnp.mean(entropy)
-    loss = pg_loss + value_coef * v_loss - entropy_coef * ent
+
+def _fit_time_chunk(num_steps: int, target: int) -> int:
+    tc = min(target, num_steps)
+    while num_steps % tc:
+        tc -= 1
+    return tc
+
+
+def _trajectory_grads(
+    model, params, traj, gamma, value_coef, entropy_coef, time_chunk=32
+):
+    """Parameter gradients + metrics of the actor-critic loss over a
+    `(obs, actions, logp, value, reward, done)` trajectory with (T, B)
+    leading axes. Shared verbatim by the vmap and packed train steps so
+    their updates are identical given identical trajectories.
+
+    The gradient is ACCUMULATED over `time_chunk`-step slices under a
+    `lax.scan` instead of one `model.apply` over the full `(T·B, ...)`
+    trajectory: the loss is a mean of independent per-(t, b) terms, so
+    chunked grads are the same sum in a different association order, while
+    peak memory drops from O(T·B·features) activations (the round-3 train
+    step's ceiling — the full-trajectory re-apply materialized the whole
+    one-hot feature block plus both hidden layers for the backward pass)
+    to O(time_chunk·B·features). `time_chunk` only affects speed/memory,
+    not semantics.
+    """
+    obs, actions, logp_b, value, reward, done = traj
+    t_total, b = reward.shape
+    tc = _fit_time_chunk(t_total, time_chunk)
+    returns = _trajectory_returns(reward, done, gamma)
+    adv = lax.stop_gradient(returns - value)
+    ret_sg = lax.stop_gradient(returns)
+    denom = float(t_total * b)
+
+    def reshape_c(x):
+        return x.reshape((t_total // tc, tc) + x.shape[1:])
+
+    chunks = (reshape_c(obs), reshape_c(actions), reshape_c(adv),
+              reshape_c(ret_sg))
+
+    def chunk_loss(params, chunk):
+        obs_c, act_c, adv_c, ret_c = chunk
+        logits, value_now = model.apply(params, obs_c)
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, act_c[..., None], axis=-1)[..., 0]
+        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+        pg_sum = -jnp.sum(logp * adv_c)
+        v_sum = jnp.sum((value_now - ret_c) ** 2)
+        ent_sum = jnp.sum(entropy)
+        loss = (pg_sum + value_coef * v_sum - entropy_coef * ent_sum) / denom
+        return loss, jnp.stack([pg_sum, v_sum, ent_sum])
+
+    def body(acc, chunk):
+        grads, sums = acc
+        g, s = jax.grad(chunk_loss, has_aux=True)(params, chunk)
+        return (jax.tree.map(jnp.add, grads, g), sums + s), None
+
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    (grads, sums), _ = lax.scan(
+        body, (zero_g, jnp.zeros((3,), jnp.float32)), chunks
+    )
+    pg_loss = sums[0] / denom
+    v_loss = sums[1] / denom
+    ent = sums[2] / denom
     metrics = {
-        "loss": loss,
+        "loss": pg_loss + value_coef * v_loss - entropy_coef * ent,
         "pg_loss": pg_loss,
         "v_loss": v_loss,
         "entropy": ent,
         "reward_per_step": jnp.mean(reward),
         "episodes": jnp.sum(done.astype(jnp.float32)),
     }
-    return loss, metrics
+    return grads, metrics
 
 
 def build_train_step(
@@ -136,21 +187,13 @@ def build_train_step(
         (states, _), traj = lax.scan(body, (states, batched_obs(states)), keys)
         return states, traj
 
-    def loss_fn(params, states, key):
-        states, traj = rollout(params, states, key)
-        # The rollout is inference-only: every traj leaf is either integer
-        # data or consumed under stop_gradient in the loss, so cut the
-        # backward pass through the scan explicitly — XLA then frees the
-        # per-step activations instead of saving T of them for grads.
-        traj = lax.stop_gradient(traj)
-        loss, metrics = _trajectory_loss(
-            model, params, traj, gamma, value_coef, entropy_coef
-        )
-        return loss, (states, metrics)
-
     def train_step(train_state: TrainState, states: EnvState, key: jax.Array):
-        grads, (states, metrics) = jax.grad(loss_fn, has_aux=True)(
-            train_state.params, states, key
+        # The rollout is inference-only (the loss consumes the trajectory
+        # as data), so it runs OUTSIDE jax.grad entirely; gradients come
+        # from the time-chunked accumulation in `_trajectory_grads`.
+        states, traj = rollout(train_state.params, states, key)
+        grads, metrics = _trajectory_grads(
+            model, train_state.params, traj, gamma, value_coef, entropy_coef
         )
         updates, opt_state = optimizer.update(
             grads, train_state.opt_state, train_state.params
@@ -180,7 +223,7 @@ def build_packed_train_step(
     """Policy-in-the-loop training on the packed-lane engine.
 
     Same contract and update math as `build_train_step` (they share
-    `_trajectory_loss`, and on supported envs produce IDENTICAL updates —
+    `_trajectory_grads`, and on supported envs produce IDENTICAL updates —
     asserted in tests/test_parallel.py) but the environment runs in the
     packed `(H·W, B)` / `(NUM_REGS, B)` layout of `ops/fused_rollout.py`:
     per step the packed transition produces the egocentric view directly,
@@ -204,10 +247,11 @@ def build_packed_train_step(
         R_RNG,
         PackedCarry,
         _fit_chunk,
+        _masked_template_refresh,
         _matmul_rows,
         _obs_core,
-        _pack_rolled,
         _packed_hook,
+        _refresh_block_size,
         _regen_is_static,
         _replay_rng_chain,
         _replay_rng_chain_fn,
@@ -249,11 +293,15 @@ def build_packed_train_step(
 
     # Regen on random-layout families: refresh each lane's reset template
     # every `tc` steps (the train-loop instance of the chunked scheme in
-    # ops/fused_rollout._build_chunked_regen).
+    # ops/fused_rollout._build_chunked_regen, WITHOUT its freeze/re-entry
+    # commit protocol: the policy samples actions online from a per-STEP
+    # shared key, so a per-lane resume would change the key stream —
+    # in-chunk repeat resets therefore reuse the chunk template here, the
+    # documented approximation of this surface). Templates ride the carry
+    # and only consumed lanes regenerate (`_masked_template_refresh`).
     refresh = mode == "regen" and not _regen_is_static(env)
     tc = _fit_chunk(num_steps, 32) if refresh else num_steps
     n_chunks = num_steps // tc
-    gen_batch = jax.vmap(lambda k: env.generate(k, cfg))
     chain_step = jax.vmap(lambda k: env.generate(k, cfg).rng)
 
     def rollout_packed(params, pc: "PackedCarry", key: jax.Array):
@@ -282,33 +330,38 @@ def build_packed_train_step(
         keys = jax.random.split(key, num_steps)
         if refresh:
             keys = keys.reshape(n_chunks, tc, -1)
+            block = _refresh_block_size(b)
 
             def chunk(carry, keys_c):
-                words, regs, img, csum, cur_rng = carry
-                tmpl_words, tmpl_regs = _pack_rolled(cfg, gen_batch(cur_rng))
+                words, regs, tw, tr, img, csum, cur_rng = carry
                 (words, regs, img, csum), traj_c = lax.scan(
-                    make_body(tmpl_words, tmpl_regs),
-                    (words, regs, img, csum),
-                    keys_c,
+                    make_body(tw, tr), (words, regs, img, csum), keys_c
                 )
                 epi_c = jnp.sum(traj_c[5].astype(jnp.int32), axis=0)  # (B,)
+                consumed = epi_c >= 1
                 rng1 = jnp.where(
-                    (epi_c >= 1)[:, None],
-                    rows_key(tmpl_regs[R_RNG : R_RNG + 2]),
+                    consumed[:, None],
+                    rows_key(tr[R_RNG : R_RNG + 2]),
                     cur_rng,
                 )
                 new_rng = _replay_rng_chain_fn(
                     chain_step, rng1, jnp.maximum(epi_c - 1, 0)
                 )
-                return (words, regs, img, csum, new_rng), traj_c
+                tw, tr = _masked_template_refresh(
+                    env, tw, tr, new_rng, consumed, block
+                )
+                return (words, regs, tw, tr, img, csum, new_rng), traj_c
 
-            (words_f, regs_f, _, csum, rng_f), traj = lax.scan(
-                chunk, (words0, regs0, img0, csum0, pc.rng), keys
+            (words_f, regs_f, tw_f, tr_f, _, csum, rng_f), traj = lax.scan(
+                chunk,
+                (words0, regs0, pc.tmpl_words, pc.tmpl_regs, img0, csum0,
+                 pc.rng),
+                keys,
             )
             traj = jax.tree.map(
                 lambda x: x.reshape((num_steps,) + x.shape[2:]), traj
             )
-            pc_f = PackedCarry(words_f, regs_f, None, None, rng_f)
+            pc_f = PackedCarry(words_f, regs_f, tw_f, tr_f, rng_f)
         else:
             (words_f, regs_f, _, csum), traj = lax.scan(
                 make_body(pc.tmpl_words, pc.tmpl_regs),
@@ -332,21 +385,12 @@ def build_packed_train_step(
 
     rollout_fn = rollout_packed if as_carry else rollout
 
-    def loss_fn(params, states, key):
-        states, traj = rollout_fn(params, states, key)
-        # The rollout is inference-only: every traj leaf is either integer
-        # data or consumed under stop_gradient in the loss, so cut the
-        # backward pass through the scan explicitly — XLA then frees the
-        # per-step activations instead of saving T of them for grads.
-        traj = lax.stop_gradient(traj)
-        loss, metrics = _trajectory_loss(
-            model, params, traj, gamma, value_coef, entropy_coef
-        )
-        return loss, (states, metrics)
-
     def train_step(train_state: TrainState, states: EnvState, key: jax.Array):
-        grads, (states, metrics) = jax.grad(loss_fn, has_aux=True)(
-            train_state.params, states, key
+        # Rollout outside jax.grad (inference-only); gradients via the
+        # time-chunked accumulation shared with the vmap train step.
+        states, traj = rollout_fn(train_state.params, states, key)
+        grads, metrics = _trajectory_grads(
+            model, train_state.params, traj, gamma, value_coef, entropy_coef
         )
         updates, opt_state = optimizer.update(
             grads, train_state.opt_state, train_state.params
@@ -365,8 +409,8 @@ def build_packed_train_step(
         shard_state = PackedCarry(
             words=lane,
             regs=lane,
-            tmpl_words=None if refresh else lane,
-            tmpl_regs=None if refresh else lane,
+            tmpl_words=lane,
+            tmpl_regs=lane,
             rng=env_sharding(mesh),
         )
     else:

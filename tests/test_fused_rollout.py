@@ -216,16 +216,25 @@ class TestChunkedRegen:
         assert int(mf.reset_overlaps) == 0
         _assert_equivalent(sx, mx, sf, mf)
 
-    def test_lavagap_chunk4_flags_overlaps(self):
+    def test_lavagap_chunk4_exact_with_overlaps(self):
         # With a 4-step chunk some lane dies twice inside one chunk (lava
-        # sits two moves from spawn): the engine must COUNT those instead of
-        # silently reusing the chunk template.
-        _, mx, _, mf = self._run(
+        # sits two moves from spawn). The freeze/re-entry commit protocol
+        # must DEFER those resets (counted in reset_overlaps) and replay
+        # them with genuinely fresh layouts — byte-exact vs the vmap regen
+        # path even though overlaps fired.
+        sx, mx, sf, mf = self._run(
             "MiniGrid-LavaGapS5-v0", 64, backend="xla", regen_chunk=4
         )
         assert int(mf.reset_overlaps) > 0
-        # Integer step count is unaffected by overlap accounting.
-        assert int(mf.total_steps) == int(mx.total_steps)
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_lavagap_chunk16_exact(self):
+        # Bigger chunk, more frequent overlaps — still byte-exact.
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-LavaGapS5-v0", 64, backend="xla", regen_chunk=16
+        )
+        assert int(mf.reset_overlaps) > 0
+        _assert_equivalent(sx, mx, sf, mf)
 
     def test_fetch_hooked_xla_chunk1(self):
         # Hooked custom-step family under regen: any pickup terminates.
@@ -243,10 +252,19 @@ class TestChunkedRegen:
         assert int(mf.reset_overlaps) == 0
         _assert_equivalent(sx, mx, sf, mf)
 
-    def test_overlap_detection(self):
+    def test_lavagap_pallas_chunk8_exact_with_overlaps(self):
+        # The commit protocol inside the actual Pallas kernel (interpret
+        # mode): overlapping resets must defer + replay byte-exactly.
+        sx, mx, sf, mf = self._run(
+            "MiniGrid-LavaGapS5-v0", 32, backend="pallas", regen_chunk=8
+        )
+        assert int(mf.reset_overlaps) > 0
+        _assert_equivalent(sx, mx, sf, mf)
+
+    def test_forced_dense_overlaps_exact(self):
         # max_steps=2 truncates every 2 steps: a chunk of 8 sees 4 resets
-        # per lane — the engine must flag the overlap instead of silently
-        # reusing the chunk template.
+        # per lane (the worst case for the re-entry loop: EVERY lane
+        # defers 3 resets per chunk) — still byte-exact vs the vmap path.
         import dataclasses
 
         env = minigrid_tpu.make("MiniGrid-FourRooms-v0")
@@ -256,11 +274,14 @@ class TestChunkedRegen:
         key = jax.random.PRNGKey(1)
         key, k_reset = jax.random.split(key)
         states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        xla = jax.jit(build_rollout(env, 16, autoreset_mode="regen"))
         fused = jax.jit(
             build_packed_xla_rollout(env, 16, mode="regen", regen_chunk=8)
         )
-        _, mf = fused(key, states)
-        assert int(mf.reset_overlaps) > 0
+        sx, mx = xla(key, states)
+        sf, mf = fused(key, states)
+        assert int(mf.reset_overlaps) >= 3 * B  # ≥3 deferred resets/lane/chunk
+        _assert_equivalent(sx, mx, sf, mf)
 
 
 class TestFusedEquivalenceCached:
@@ -430,6 +451,56 @@ class TestPackedHookFamilies:
         sx, mx, sf, mf = _run_both(
             env_id, 32, "cached", step_chunk=16, backend="pallas", doctor=doctor
         )
+        assert int(mx.episodes) > 0, env_id
+        _assert_equivalent(sx, mx, sf, mf)
+
+
+class TestChunkedRegenAllHookedFamilies:
+    """EVERY hooked family under regen-mode chunked refresh on the packed
+    engine (XLA twin; the kernel shares `_step_core`/`_build_chunked_regen`
+    and is covered on exemplars above): families whose per-episode aux
+    targets and missions genuinely change across resets (GoToDoor's door
+    color, PutNear's two targets, Memory's success/fail cells, the
+    locked-door families' key/target) must swap them correctly through the
+    template-refresh `tail2` select. regen_chunk=4 exercises the refresh
+    AND the freeze/re-entry commit protocol under real resets."""
+
+    @pytest.mark.parametrize(
+        "env_id,steps",
+        [
+            ("MiniGrid-Fetch-5x5-N2-v0", 48),
+            ("MiniGrid-GoToDoor-5x5-v0", 48),
+            ("MiniGrid-GoToObject-6x6-N2-v0", 48),
+            ("MiniGrid-PutNear-6x6-N2-v0", 48),
+            ("MiniGrid-MemoryS7-v0", 48),
+            ("MiniGrid-RedBlueDoors-6x6-v0", 48),
+            ("MiniGrid-Unlock-v0", 48),
+            ("MiniGrid-UnlockPickup-v0", 48),
+            ("MiniGrid-BlockedUnlockPickup-v0", 48),
+            ("MiniGrid-KeyCorridorS3R1-v0", 48),
+            ("MiniGrid-ObstructedMaze-1Dl-v0", 48),
+        ],
+    )
+    def test_xla_regen_chunk4(self, env_id, steps):
+        doctored = {e for e, _ in TestPackedHookFamilies.DOCTORED_CASES}
+        doctor = (
+            TestPackedHookFamilies._doctor(env_id) if env_id in doctored else None
+        )
+        env = minigrid_tpu.make(env_id)
+        key = jax.random.PRNGKey(5)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        if doctor is not None:
+            states = doctor(states)
+        xla = jax.jit(build_rollout(env, steps, autoreset_mode="regen"))
+        packed = jax.jit(
+            build_packed_xla_rollout(env, steps, mode="regen", regen_chunk=4)
+        )
+        sx, mx = xla(key, states)
+        sf, mf = packed(key, states)
+        # Resets must actually fire (otherwise the refresh is never
+        # exercised): hook terminations under random actions, or the
+        # doctored first episodes for the locked-door families.
         assert int(mx.episodes) > 0, env_id
         _assert_equivalent(sx, mx, sf, mf)
 
