@@ -9,8 +9,10 @@ would build under the same seed — the substrate for golden-trajectory
 equivalence tests (BASELINE.md north star).
 
 Stepping a compat-generated state through the device step kernel is then
-bit-exact for every deterministic-transition env (all families except
-DynamicObstacles' stochastic obstacle walk).
+bit-exact for every deterministic-transition env; the one stochastic-
+transition family, DynamicObstacles, gets trajectory-level exactness via
+`walk_obstacles`/`dynobst_step` (host MT19937 obstacle walk continuing the
+generator's stream + the device kernel's deterministic tail).
 
 Everything here is host NumPy; upload with `state_to_device`.
 """
@@ -315,6 +317,30 @@ class CompatEnv:
             pos = self.place_obj(_cell(C.BALL, C.BLUE), max_tries=100)
             self.aux[2 * i] = pos[0]
             self.aux[2 * i + 1] = pos[1]
+
+    def walk_obstacles(self):
+        """The reference DynamicObstaclesEnv.step's obstacle walk
+        (dynamicobstacles.py:~70-85), continuing the same MT19937 stream
+        `_gen_grid` drew from: sequentially per obstacle,
+        `place_obj(ball, top=old-(1,1), size=(3,3), max_tries=100)` —
+        the obstacle's own old cell is still occupied so it always moves
+        when any free cell exists — then clear the old cell; an exhausted
+        rejection loop (boxed in, 101 draw pairs consumed) leaves the
+        obstacle in place (the reference's `except: pass`). Set
+        `self.agent_pos` to the LIVE agent position first (the rejection
+        loop must skip it)."""
+        for i in range(self.config.n_obstacles):
+            ox, oy = int(self.aux[2 * i]), int(self.aux[2 * i + 1])
+            try:
+                pos = self.place_obj(
+                    _cell(C.BALL, C.BLUE), top=(ox - 1, oy - 1),
+                    size=(3, 3), max_tries=100,
+                )
+            except RecursionError:
+                continue
+            self.grid[oy, ox] = EMPTY_CELL
+            self.aux[2 * i] = int(pos[0])
+            self.aux[2 * i + 1] = int(pos[1])
 
     def _gen_memory(self):
         cfg = self.config
@@ -901,6 +927,47 @@ class CompatEnv:
         self.aux[0] = C.BALL
         self.aux[1] = C.COLOR_TO_IDX[ball_color]
         self.mission = "pick up the %s ball" % ball_color
+
+
+def dynobst_step(ce: "CompatEnv", env, state, action: int):
+    """One reference-exact DynamicObstacles transition (MT19937 walk).
+
+    Mirrors the reference's step order exactly (dynamicobstacles.py:~60-101):
+    record front-cell clearance BEFORE the walk, sequentially random-walk
+    every obstacle via `place_obj(ball, top=pos-(1,1), size=(3,3),
+    max_tries=100)` rejection from `ce.np_random` — the SAME MT19937 stream
+    `_gen_grid` drew from — then run the deterministic base transition +
+    collision penalty through the device kernel
+    (`envs.dynamicobstacles.post_walk_step`).
+
+    `ce` owns the authoritative grid/aux for the walk (the only grid
+    mutations in this family ARE the walk's — the restricted Discrete(3)
+    action set cannot add or remove objects); `state` is the device state
+    whose agent fields advance. Returns `(state, obs, reward, terminated,
+    truncated)` — the `env.step` signature, so trajectory drivers
+    (tests/make_golden.py, tests/test_golden.py, tools/capture_reference.py
+    fixtures) swap it in for the stochastic family.
+    """
+    import jax.numpy as jnp
+
+    from minigrid_tpu.envs.dynamicobstacles import post_walk_step
+
+    cfg = env.config
+    ax, ay = int(state.agent_pos[0]), int(state.agent_pos[1])
+    dx, dy = C.DIR_TO_VEC[int(state.agent_dir)]
+    ft = int(ce.grid[ay + int(dy), ax + int(dx), 0])
+    not_clear = ft not in (C.EMPTY, C.GOAL)
+
+    ce.agent_pos = np.array([ax, ay])
+    ce.walk_obstacles()
+
+    state = state.replace(
+        grid=jnp.asarray(ce.grid),
+        aux=jnp.asarray(ce.aux, state.aux.dtype),
+    )
+    res = post_walk_step(state, jnp.int32(action), cfg, jnp.asarray(not_clear))
+    obs = env.observe(res.state, cfg)
+    return res.state, obs, res.reward, res.terminated, res.truncated
 
 
 def state_to_device(compat_state: dict, config: EnvConfig, key=None):

@@ -149,8 +149,22 @@ def step(state: EnvState, action: jnp.ndarray, config: EnvConfig) -> StepResult:
         aux = aux.at[2 * i].set(nx).at[2 * i + 1].set(ny)
 
     moved = state.replace(grid=grid, aux=aux)
-    res = base_step(moved, action, config)
+    return post_walk_step(moved, action, config, not_clear)
 
+
+def post_walk_step(
+    state: EnvState, action: jnp.ndarray, config: EnvConfig, not_clear
+) -> StepResult:
+    """The deterministic tail of `step` — base transition + collision
+    penalty — for a state whose obstacle walk has ALREADY been applied.
+    `not_clear` is the PRE-walk front-cell blockage (the reference computes
+    it before the walk, dynamicobstacles.py:~65-70). Split out so the
+    bit-exact compat path (`compat.exact.dynobst_step`) can replay the
+    walk host-side from the reference's MT19937 stream and still run the
+    deterministic part through the device kernel."""
+    action = jnp.asarray(action, dtype=jnp.int32)
+    action = jnp.where(action >= config.num_actions, 0, action)
+    res = base_step(state, action, config)
     collided = (action == Actions.forward) & not_clear
     reward = jnp.where(collided, -1.0, res.reward)
     terminated = res.terminated | collided

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import minigrid_tpu
-from minigrid_tpu.compat.exact import CompatEnv, state_to_device
+from minigrid_tpu.compat.exact import CompatEnv, dynobst_step, state_to_device
 
 CASES = [
     ("MiniGrid-Empty-8x8-v0", 1337, 64),
@@ -115,13 +115,21 @@ def main():
         state = state_to_device(layout, env.config)
         step = jax.jit(env.step)
 
+        # DynamicObstacles trajectories replay the reference's MT19937
+        # obstacle walk host-side (compat.exact.dynobst_step) so the trace
+        # is reference-exact end to end, not just the layout.
+        is_dynobst = env.config.family == "dynamicobstacles"
+
         rng = np.random.default_rng(seed)
         actions, images, rewards, terms, truncs = [], [], [], [], []
         obs = env.observe(state, env.config)
         images.append(np.asarray(obs["image"]))
         for t in range(steps):
             a = int(rng.integers(env.num_actions))
-            state, obs, r, te, tr = step(state, jnp.int32(a))
+            if is_dynobst:
+                state, obs, r, te, tr = dynobst_step(ce, env, state, a)
+            else:
+                state, obs, r, te, tr = step(state, jnp.int32(a))
             actions.append(a)
             images.append(np.asarray(obs["image"]))
             rewards.append(float(r))

@@ -15,7 +15,7 @@ import numpy as np
 import pytest
 
 import minigrid_tpu
-from minigrid_tpu.compat.exact import CompatEnv, state_to_device
+from minigrid_tpu.compat.exact import CompatEnv, dynobst_step, state_to_device
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 FIXTURES = sorted(
@@ -41,18 +41,26 @@ def test_golden_trajectory(fixture):
     env = minigrid_tpu.make(env_id)
 
     # 1. The exact replayer still reproduces the recorded layout.
-    layout = CompatEnv(env_id, seed=seed).reset()
+    ce = CompatEnv(env_id, seed=seed)
+    layout = ce.reset()
     np.testing.assert_array_equal(layout["grid"], data["grid"])
     np.testing.assert_array_equal(layout["agent_pos"], data["agent_pos"])
     assert int(layout["agent_dir"]) == int(data["agent_dir"])
 
-    # 2. The device kernel still produces the recorded trace.
+    # 2. The device kernel still produces the recorded trace. The one
+    # stochastic-transition family replays the reference's MT19937
+    # obstacle walk host-side (compat.exact.dynobst_step), continuing the
+    # same stream the layout came from.
+    is_dynobst = env.config.family == "dynamicobstacles"
     state = state_to_device(layout, env.config)
     step = jax.jit(env.step)
     obs = env.observe(state, env.config)
     np.testing.assert_array_equal(np.asarray(obs["image"]), data["images"][0])
     for t, a in enumerate(data["actions"]):
-        state, obs, r, te, tr = step(state, jnp.int32(int(a)))
+        if is_dynobst:
+            state, obs, r, te, tr = dynobst_step(ce, env, state, int(a))
+        else:
+            state, obs, r, te, tr = step(state, jnp.int32(int(a)))
         np.testing.assert_array_equal(
             np.asarray(obs["image"]), data["images"][t + 1],
             err_msg=f"{env_id} step {t}",

@@ -28,10 +28,11 @@ Comparison semantics per fixture:
     against channels 0:3, plus agent_pos/agent_dir.
   * trajectory: replay the fixture's action script through the reference
     env; compare obs images (both `[x, y]`-indexed uint8), rewards, and
-    `done` vs our `terminated|truncated`.
-  * dynamicobstacles: layout only — the reference walks obstacles from its
-    MT19937 stream, ours from counter-based Threefry (distribution-level
-    parity by design; see envs/dynamicobstacles.py).
+    `done` vs our `terminated|truncated`. This includes dynamicobstacles:
+    its fixtures are produced by the MT19937 host walk replayer
+    (`compat.exact.dynobst_step`), which continues the exact stream the
+    reference's own `step` would draw from, so the stochastic obstacle
+    trajectories diff byte-for-byte too.
 """
 
 from __future__ import annotations
@@ -235,13 +236,10 @@ def find_reference_package(root: str):
 
 
 def compare_fixture(gym, fixture_path: str, report: list) -> bool:
-    import minigrid_tpu
-
     base = os.path.basename(fixture_path)[: -len(".npz")]
     env_id, seed = base.rsplit("_s", 1)
     seed = int(seed)
     data = np.load(fixture_path)
-    family = minigrid_tpu.make(env_id).config.family
 
     env = gym.make(env_id)
     env.seed(seed)
@@ -266,10 +264,9 @@ def compare_fixture(gym, fixture_path: str, report: list) -> bool:
             f"agent_dir ref={env.agent_dir} ours={int(data['agent_dir'])}"
         )
 
-    # --- trajectory (skip stochastic-transition family: different PRNG) ---
-    if family == "dynamicobstacles":
-        entry["trajectory"] = "skipped (stochastic transitions; layout-only)"
-    elif entry["ok"]:
+    # --- trajectory (incl. dynamicobstacles: the fixture's obstacle walk
+    # replays the reference's own MT19937 stream, see module docstring) ---
+    if entry["ok"]:
         if not np.array_equal(np.asarray(obs["image"]), data["images"][0]):
             entry["ok"] = False
             entry["diffs"].append("obs[0]")
