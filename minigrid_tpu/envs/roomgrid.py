@@ -276,23 +276,6 @@ def place_agent(
     return rg, d.astype(jnp.int32)
 
 
-def reach_mask(has_door: jnp.ndarray, config: EnvConfig, start_i, start_j) -> jnp.ndarray:
-    """(R, Cc) bool — rooms reachable from start through existing doors
-    (`connect_all`'s `find_reach`, roomgrid.py:~340-355). Operates on the
-    bare `(R, Cc, 4)` door-existence array."""
-    rows, cols = config.num_rows, config.num_cols
-    reach = jnp.zeros((rows, cols), bool).at[start_j, start_i].set(True)
-    for _ in range(rows * cols):
-        # Propagate through each slot direction.
-        r = reach
-        right = jnp.pad(r[:, :-1] & has_door[:, :-1, RIGHT], ((0, 0), (1, 0)))
-        left = jnp.pad(r[:, 1:] & has_door[:, 1:, LEFT], ((0, 0), (0, 1)))
-        down = jnp.pad(r[:-1, :] & has_door[:-1, :, DOWN], ((1, 0), (0, 0)))
-        up = jnp.pad(r[1:, :] & has_door[1:, :, UP], ((0, 1), (0, 0)))
-        reach = r | right | left | down | up
-    return reach
-
-
 def connect_all(
     rg: RG, config: EnvConfig, key: jax.Array, max_itrs: int = 5000
 ) -> RG:

@@ -41,21 +41,53 @@ import minigrid_tpu
 from minigrid_tpu.ops.fused_rollout import build_fused_rollout
 
 
-def _time_rollout(env, batch_size, num_steps, iters, ablate):
-    rollout = build_fused_rollout(
-        env, num_steps, mode="cached", _ablate=frozenset(ablate)
-    )
+def _time_rollout(env, batch_size, num_steps, iters, ablate, surface="carry"):
+    """Best-of-`iters` seconds per rollout call.
+
+    surface="carry" times the steady-state surface (`packed_init` ONCE
+    outside the loop, then kernel-only `step(key, carry)` calls) so stage
+    shares are relative to KERNEL time; surface="legacy" times the
+    `rollout(key, states)` surface whose per-call prepare (template
+    `vmap(generate)` + pack/roll/unpack) dominates on procedural families
+    — reported separately as "legacy prepare overhead"."""
+    from minigrid_tpu.ops.fused_rollout import packed_init
+
     key = jax.random.PRNGKey(0)
     states = jax.vmap(lambda k: env.generate(k, env.config))(
         jax.random.split(key, batch_size)
     )
-    rollout = jax.jit(rollout)
 
-    def fence(out):
+    def fence_metrics(metrics):
         # Actual host fetches — block_until_ready alone has proven
         # unreliable on tunneled backends for timing purposes (bench.py).
+        return float(metrics.total_reward) + int(metrics.obs_checksum)
+
+    if surface == "carry":
+        step = jax.jit(
+            build_fused_rollout(
+                env, num_steps, mode="cached", _ablate=frozenset(ablate),
+                as_carry=True,
+            )
+        )
+        carry = jax.jit(lambda s: packed_init(env, s, "cached"))(states)
+        carry, m = step(key, carry)
+        fence_metrics(m)  # compile + warm
+        best = float("inf")
+        for i in range(iters):
+            k = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            carry, m = step(k, carry)
+            fence_metrics(m)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rollout = jax.jit(
+        build_fused_rollout(env, num_steps, mode="cached", _ablate=frozenset(ablate))
+    )
+
+    def fence(out):
         st, metrics = out
-        return float(metrics.total_reward) + float(jnp.sum(st.step_count))
+        return fence_metrics(metrics) + float(jnp.sum(st.step_count))
 
     fence(rollout(key, states))  # compile + warm
     best = float("inf")
@@ -83,10 +115,16 @@ def main():
     t_full = _time_rollout(env, args.batch_size, args.num_steps, args.iters, ())
     print(
         f"{args.env_id}  {cfg.width}x{cfg.height} (HW={cfg.width*cfg.height})"
-        f"  B={args.batch_size}  T={args.num_steps}"
+        f"  B={args.batch_size}  T={args.num_steps}  [steady carry surface]"
     )
     print(f"{'full kernel':<28} {t_full*1e3:8.2f} ms   "
           f"{steps/t_full/1e6:8.1f} M steps/s")
+    t_legacy = _time_rollout(
+        env, args.batch_size, args.num_steps, args.iters, (), surface="legacy"
+    )
+    print(f"{'legacy surface (1 call)':<28} {t_legacy*1e3:8.2f} ms   "
+          f"{steps/t_legacy/1e6:8.1f} M steps/s   "
+          f"prepare ≈ {max(0.0, (t_legacy - t_full) / t_legacy):5.1%}")
 
     for stage in ("roll", "fwdwrite", "reset", "obs"):
         t = _time_rollout(
