@@ -204,11 +204,14 @@ def run_train(
 
 
 def run_mixed(
-    env_ids: str, batch_size: int, num_steps: int, iters: int, path: str, mode: str
+    env_ids: str, batch_size: int, num_steps: int, iters: int, path: str,
+    mode: str, carry: bool = False,
 ) -> float:
     """env-steps/s on a heterogeneous batch (BASELINE config #5): the batch
     splits evenly across the comma-separated families. path='vmap' steps the
-    lax.switch MixedEnv; otherwise one packed lane block per family."""
+    lax.switch MixedEnv; otherwise one packed lane block per family.
+    `carry` measures the steady-state surface (packed_init per member once,
+    then kernel-only calls)."""
     from minigrid_tpu.parallel.mixed import (
         MixedEnv,
         build_mixed_rollout,
@@ -240,8 +243,24 @@ def run_mixed(
         )
         backend = "pallas" if jax.default_backend() == "tpu" else "packed"
         rollout = build_packed_mixed_rollout(
-            ids, num_steps, mesh=mesh, mode=mode, backend=backend
+            ids, num_steps, mesh=mesh, mode=mode, backend=backend,
+            as_carry=carry,
         )
+        if carry:
+            from minigrid_tpu.ops.fused_rollout import packed_init
+            from minigrid_tpu.parallel.packed import shard_carry
+
+            states = tuple(
+                shard_carry(
+                    jax.jit(
+                        lambda s, e=e: packed_init(
+                            minigrid_tpu.make(e), s, mode
+                        )
+                    )(st),
+                    mesh,
+                )
+                for e, st in zip(ids, states)
+            )
         batch_size = per * len(ids)
 
     def fence(metrics):
@@ -314,12 +333,13 @@ def main():
     if args.mixed:
         steps_per_sec = run_mixed(
             args.mixed, args.batch_size, args.num_steps, args.iters,
-            args.path, args.mode,
+            args.path, args.mode, carry=args.carry and args.path != "vmap",
         )
+        mtag = "steady_" if args.carry and args.path != "vmap" else ""
         print(
             json.dumps(
                 {
-                    "metric": f"mixed_env_steps_per_sec[{args.mixed} "
+                    "metric": f"{mtag}mixed_env_steps_per_sec[{args.mixed} "
                     f"B={args.batch_size}]",
                     "value": round(steps_per_sec, 1),
                     "unit": "steps/s",

@@ -204,6 +204,7 @@ def build_packed_mixed_rollout(
     mesh=None,
     mode: str = "regen",
     backend: str = "auto",
+    as_carry: bool = False,
 ):
     """Heterogeneous batch on the PACKED engines: one homogeneous lane
     block per member family, each stepped by its family's own packed
@@ -220,6 +221,11 @@ def build_packed_mixed_rollout(
     each member's `reset_batch` + `shard_states`). With a mesh, every
     member block additionally shards over the 'env' axis
     (`parallel.packed.build_sharded_rollout`).
+
+    With `as_carry=True` the surface becomes the steady-state carry loop:
+    `step(key, carries) -> (carries, RolloutMetrics)` over a tuple of one
+    `ops.fused_rollout.PackedCarry` per member (build with each member's
+    `packed_init`; unpack with `packed_finish`).
     """
     import minigrid_tpu as _mg
     from minigrid_tpu.core.rollout import RolloutMetrics
@@ -228,7 +234,10 @@ def build_packed_mixed_rollout(
     envs = [_mg.make(e) for e in env_ids]
     if mesh is not None:
         inners = [
-            build_sharded_rollout(e, num_steps, mesh, mode=mode, backend=backend)
+            build_sharded_rollout(
+                e, num_steps, mesh, mode=mode, backend=backend,
+                as_carry=as_carry,
+            )
             for e in envs
         ]
     else:
@@ -243,7 +252,7 @@ def build_packed_mixed_rollout(
             or (backend == "auto" and jax.default_backend() == "tpu")
             else build_packed_xla_rollout
         )
-        inners = [mk(e, num_steps, mode=mode) for e in envs]
+        inners = [mk(e, num_steps, mode=mode, as_carry=as_carry) for e in envs]
 
     def rollout(key: jax.Array, states_tuple):
         finals = []
