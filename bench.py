@@ -63,7 +63,7 @@ def pick_path(env, requested: str, mode: str) -> str:
 
 def build(
     env, path: str, num_steps: int, mode: str, as_carry: bool = False,
-    regen_chunk: int = 32, refresh_block=None,
+    regen_chunk: int = 32, refresh_block=None, lane_block=None,
 ):
     if path == "vmap":
         if as_carry:
@@ -78,6 +78,7 @@ def build(
         return build_fused_rollout(
             env, num_steps=num_steps, mode=mode, as_carry=as_carry,
             regen_chunk=regen_chunk, refresh_block=refresh_block,
+            lane_block=lane_block,
         )
     raise ValueError(f"unknown path {path!r}")
 
@@ -92,6 +93,7 @@ def run(
     carry: bool = False,
     regen_chunk: int = 32,
     refresh_block=None,
+    lane_block=None,
 ) -> float:
     env = minigrid_tpu.make(env_id)
     path = pick_path(env, path, mode)
@@ -117,7 +119,8 @@ def run(
 
         step = jax.jit(
             build(env, path, num_steps, mode, as_carry=True,
-                  regen_chunk=regen_chunk, refresh_block=refresh_block)
+                  regen_chunk=regen_chunk, refresh_block=refresh_block,
+                  lane_block=lane_block)
         )
         c = jax.jit(lambda s: packed_init(env, s, mode))(states)
 
@@ -138,7 +141,8 @@ def run(
 
     rollout = jax.jit(
         build(env, path, num_steps, mode,
-              regen_chunk=regen_chunk, refresh_block=refresh_block)
+              regen_chunk=regen_chunk, refresh_block=refresh_block,
+              lane_block=lane_block)
     )
 
     # Compile + warm up.
@@ -157,7 +161,8 @@ def run(
 
 
 def run_train(
-    env_id: str, batch_size: int, num_steps: int, iters: int, path: str, mode: str
+    env_id: str, batch_size: int, num_steps: int, iters: int, path: str,
+    mode: str, time_chunk: int = 4,
 ) -> float:
     """env-steps/s through the FULL training loop: packed simulation +
     actor-critic inference + loss + optimizer update in one jitted program
@@ -179,9 +184,13 @@ def run_train(
         print("# --train --path pallas: using the packed XLA train step")
         path = "packed"
     if path == "vmap":
-        step = build_train_step(env, mesh, num_steps=num_steps, mode=mode)
+        step = build_train_step(
+            env, mesh, num_steps=num_steps, mode=mode, time_chunk=time_chunk
+        )
     else:
-        step = build_packed_train_step(env, mesh, num_steps=num_steps, mode=mode)
+        step = build_packed_train_step(
+            env, mesh, num_steps=num_steps, mode=mode, time_chunk=time_chunk
+        )
 
     key = jax.random.PRNGKey(0)
     key, k_env, k_model = jax.random.split(key, 3)
@@ -315,10 +324,21 @@ def main():
         help="compacted template-regeneration slice size (default B/8)",
     )
     p.add_argument(
+        "--lane-block", type=int, default=None,
+        help="pallas kernel lanes per batch block (default min(512, VMEM "
+        "auto); (1, block) rows fill whole (8,128) vregs at multiples of "
+        "1024)",
+    )
+    p.add_argument(
         "--train",
         action="store_true",
         help="bench the full train step (rollout + actor-critic + update) "
         "instead of the plain rollout",
+    )
+    p.add_argument(
+        "--time-chunk", type=int, default=4,
+        help="--train: gradient-accumulation time-chunk length "
+        "(parallel/train._trajectory_grads)",
     )
     p.add_argument(
         "--mixed",
@@ -354,13 +374,14 @@ def main():
     if args.train:
         steps_per_sec = run_train(
             args.env_id, args.batch_size, args.num_steps, args.iters,
-            args.path, args.mode,
+            args.path, args.mode, time_chunk=args.time_chunk,
         )
     else:
         steps_per_sec = run(
             args.env_id, args.batch_size, args.num_steps, args.iters,
             args.path, args.mode, carry=args.carry,
             regen_chunk=args.regen_chunk, refresh_block=args.refresh_block,
+            lane_block=args.lane_block,
         )
     tag = "train_" if args.train else ""
     if args.carry and not args.train:

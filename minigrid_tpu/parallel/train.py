@@ -77,7 +77,7 @@ def _fit_time_chunk(num_steps: int, target: int) -> int:
 
 
 def _trajectory_grads(
-    model, params, traj, gamma, value_coef, entropy_coef, time_chunk=32
+    model, params, traj, gamma, value_coef, entropy_coef, time_chunk=4
 ):
     """Parameter gradients + metrics of the actor-critic loss over a
     `(obs, actions, logp, value, reward, done)` trajectory with (T, B)
@@ -151,6 +151,7 @@ def build_train_step(
     entropy_coef: float = 0.01,
     value_coef: float = 0.5,
     mode: str = "regen",
+    time_chunk: int = 4,
 ):
     """Returns jitted `train_step(train_state, states, key) ->
     (train_state, states, metrics)` with mesh-aware shardings. `mode` is
@@ -193,7 +194,8 @@ def build_train_step(
         # from the time-chunked accumulation in `_trajectory_grads`.
         states, traj = rollout(train_state.params, states, key)
         grads, metrics = _trajectory_grads(
-            model, train_state.params, traj, gamma, value_coef, entropy_coef
+            model, train_state.params, traj, gamma, value_coef, entropy_coef,
+            time_chunk=time_chunk,
         )
         updates, opt_state = optimizer.update(
             grads, train_state.opt_state, train_state.params
@@ -219,6 +221,7 @@ def build_packed_train_step(
     entropy_coef: float = 0.01,
     value_coef: float = 0.5,
     as_carry: bool = False,
+    time_chunk: int = 4,
 ):
     """Policy-in-the-loop training on the packed-lane engine.
 
@@ -390,7 +393,8 @@ def build_packed_train_step(
         # time-chunked accumulation shared with the vmap train step.
         states, traj = rollout_fn(train_state.params, states, key)
         grads, metrics = _trajectory_grads(
-            model, train_state.params, traj, gamma, value_coef, entropy_coef
+            model, train_state.params, traj, gamma, value_coef, entropy_coef,
+            time_chunk=time_chunk,
         )
         updates, opt_state = optimizer.update(
             grads, train_state.opt_state, train_state.params
