@@ -212,6 +212,50 @@ def run_train(
     return best
 
 
+def run_policy_eval(
+    env_id: str, batch_size: int, num_steps: int, iters: int, path: str,
+    mode: str,
+) -> float:
+    """env-steps/s with the ACTOR in the loop (policy-in-kernel evaluation
+    rollout, ops/policy_rollout.py) on the steady carry surface."""
+    from minigrid_tpu.ops.fused_rollout import R_SC, packed_init
+    from minigrid_tpu.ops.policy_rollout import build_policy_eval_rollout
+    from minigrid_tpu.parallel.train import init_train_state, make_model
+    from minigrid_tpu.parallel.sharding import make_env_mesh
+
+    env = minigrid_tpu.make(env_id)
+    mesh = make_env_mesh()
+    if path in ("auto", "vmap"):
+        path = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if path == "packed":
+        path = "xla"
+    key = jax.random.PRNGKey(0)
+    key, k_env, k_model = jax.random.split(key, 3)
+    params = init_train_state(k_model, env, mesh).params
+    states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, batch_size)
+    step = jax.jit(
+        build_policy_eval_rollout(
+            env, params, num_steps, mode=mode, backend=path, as_carry=True
+        )
+    )
+    c = jax.jit(lambda s: packed_init(env, s, mode))(states)
+
+    def fence(c, metrics):
+        return float(metrics.total_reward) + float(jnp.sum(c.regs[R_SC]))
+
+    c, metrics = step(key, c)  # compile + warm
+    fence(c, metrics)
+    best = 0.0
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        c, metrics = step(key, c)
+        fence(c, metrics)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * num_steps / dt)
+    return best
+
+
 def run_mixed(
     env_ids: str, batch_size: int, num_steps: int, iters: int, path: str,
     mode: str, carry: bool = False,
@@ -341,6 +385,13 @@ def main():
         "(parallel/train._trajectory_grads)",
     )
     p.add_argument(
+        "--policy-eval",
+        action="store_true",
+        help="bench the policy-in-kernel evaluation rollout (actor fused "
+        "into the step kernel, ops/policy_rollout.py) instead of the "
+        "random-policy rollout",
+    )
+    p.add_argument(
         "--mixed",
         default=None,
         metavar="ID1,ID2,...",
@@ -360,6 +411,26 @@ def main():
             json.dumps(
                 {
                     "metric": f"{mtag}mixed_env_steps_per_sec[{args.mixed} "
+                    f"B={args.batch_size}]",
+                    "value": round(steps_per_sec, 1),
+                    "unit": "steps/s",
+                    "vs_baseline": round(
+                        steps_per_sec / REFERENCE_STEPS_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+        return
+
+    if args.policy_eval:
+        steps_per_sec = run_policy_eval(
+            args.env_id, args.batch_size, args.num_steps, args.iters,
+            args.path, args.mode,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"policy_eval_env_steps_per_sec[{args.env_id} "
                     f"B={args.batch_size}]",
                     "value": round(steps_per_sec, 1),
                     "unit": "steps/s",

@@ -1,0 +1,491 @@
+"""Policy-in-kernel evaluation rollouts: the actor fused into the step kernel.
+
+The packed train step (`parallel/train.py`) runs env simulation in the
+packed lane layout but hops back to XLA between steps for the policy
+apply — per step the `(HW, B)` state round-trips HBM, the obs converts to
+a `(B, V, V, 3)` image, one-hots to a `(B, 980)` feature block, and one
+`(B, 980)×(980, 256)` matmul runs per step (BASELINE.md "Train-step
+profile" attributes ~42% of the train budget to this rollout side). For
+EVALUATION — serving a trained policy, measuring success rates, collecting
+on-policy statistics — none of the trajectory needs to leave the chip, so
+this module fuses the WHOLE loop into the rollout kernel:
+
+  * the actor-critic torso runs on the MXU inside the kernel: weights
+    (~0.7 MB bf16) ride in VMEM next to the env state, features are built
+    from the packed egocentric view with ~20 vectorized compares (one per
+    one-hot LANE VALUE, not one per cell — the weight matrix is
+    column-permuted host-side to match the cheap value-major feature
+    layout, `eval_weights_from_params`), and each step runs one
+    `(256, 980) @ (980, lanes)` bf16 matmul;
+  * action sampling is inverse-CDF on the softmax with one counter-based
+    Threefry uniform per (step, lane) (`core/prng.py`), seeded by a
+    precomputed `(T, B)` int32 seed array — the XLA twin consumes the
+    identical seeds and shares `policy_logits`/`sample_categorical`, so
+    the two backends are step-for-step equivalent (asserted in
+    tests/test_policy_rollout.py);
+  * everything else (transition, occlusion flood, auto-reset, metrics) is
+    the shared `_step_core` of `ops/fused_rollout.py`.
+
+Scope: cached auto-reset and static-layout regen (the plain carry paths).
+Chunked-regen policy evaluation falls back to the XLA twin via
+`parallel/train.py`-style loops (the freeze/re-entry protocol composes
+with online actions — they are pure functions of the replayed state — but
+the fused variant is not built yet).
+
+Equivalence to the flax model: `policy_logits` mirrors
+`models.policy.ActorCritic.__call__` op for op (bf16 torso matmuls with
+bf16 outputs, f32 actor head) on a transposed weight layout, so it agrees
+with `model.apply` to bf16 matmul-order tolerance (asserted allclose);
+kernel vs XLA twin agree exactly (same ops, same order).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import prng
+from minigrid_tpu.core.rollout import RolloutMetrics
+from minigrid_tpu.core.state import EnvState
+from minigrid_tpu.envs.base import Env
+from minigrid_tpu.ops.fused_rollout import (
+    NUM_REGS,
+    PackedCarry,
+    _fit_chunk,
+    _matmul_rows,
+    _obs_core,
+    _packed_hook,
+    _regen_is_static,
+    _replay_rng_chain,
+    _sliced_rows,
+    _step_core,
+    packed_finish,
+    packed_init,
+)
+
+# One-hot channel widths, matching models.policy._CHANNEL_WIDTHS.
+_WIDTHS = (C.NUM_OBJECTS, C.NUM_COLORS, C.NUM_STATES)
+_F = sum(_WIDTHS)  # 20 features per cell
+_SEED_SALT = 0x243F6A88  # second Threefry key word for the sampling stream
+
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+class EvalWeights(NamedTuple):
+    """Actor weights in the kernel's transposed, feature-permuted layout.
+
+    `wt1` is `(H1, V²·20)` bf16 over the VALUE-MAJOR feature rows the
+    kernel builds (row `off_ch + v·V² + kv` = one-hot of channel value `v`
+    at packed view cell `kv`); `wta` is the actor head padded to 8 rows
+    (pad logits pinned to −1e9 so sampling never picks them).
+    """
+
+    wt1: jnp.ndarray  # (H1, F_total) bf16
+    b1: jnp.ndarray  # (H1, 1) bf16
+    wt2: jnp.ndarray  # (H2, H1) bf16
+    b2: jnp.ndarray  # (H2, 1) bf16
+    wta: jnp.ndarray  # (8, H2) f32
+    ba: jnp.ndarray  # (8, 1) f32
+
+
+def _feature_permutation(view: int) -> np.ndarray:
+    """Map the kernel's value-major feature row -> flax feature index.
+
+    flax (`models.policy.encode_obs`): index = k_img·20 + offset + v with
+    k_img = x·V + y ([x, y] image order). Kernel: row = off_ch + v·V² + kv
+    with kv = y·V + x (packed view order).
+    """
+    v2 = view * view
+    perm = np.zeros(v2 * _F, dtype=np.int64)
+    off = 0
+    ch_off = (0, _WIDTHS[0], _WIDTHS[0] + _WIDTHS[1])
+    for ch, width in enumerate(_WIDTHS):
+        for val in range(width):
+            for kv in range(v2):
+                x, y = kv % view, kv // view
+                k_img = x * view + y
+                perm[off + val * v2 + kv] = k_img * _F + ch_off[ch] + val
+        off += width * v2
+    return perm
+
+
+def eval_weights_from_params(params, view: int) -> EvalWeights:
+    """Flax `ActorCritic` params -> `EvalWeights` (transpose + permute)."""
+    p = params["params"]
+    perm = _feature_permutation(view)
+    w1 = jnp.asarray(p["torso_0"]["kernel"])[perm, :]  # (980, H1)
+    wa = jnp.asarray(p["actor"]["kernel"], jnp.float32)  # (H2, A)
+    ba = jnp.asarray(p["actor"]["bias"], jnp.float32)
+    a = wa.shape[1]
+    wa_pad = jnp.zeros((8, wa.shape[0]), jnp.float32).at[:a, :].set(wa.T)
+    ba_pad = jnp.full((8, 1), -1e9, jnp.float32).at[:a, 0].set(ba)
+    return EvalWeights(
+        wt1=w1.T.astype(jnp.bfloat16),
+        b1=jnp.asarray(p["torso_0"]["bias"], jnp.bfloat16)[:, None],
+        wt2=jnp.asarray(p["torso_1"]["kernel"]).T.astype(jnp.bfloat16),
+        b2=jnp.asarray(p["torso_1"]["bias"], jnp.bfloat16)[:, None],
+        wta=wa_pad,
+        ba=ba_pad,
+    )
+
+
+def policy_logits(vw, vis, w: EvalWeights, view: int) -> jnp.ndarray:
+    """(V², B) packed view -> (8, B) f32 logits (pad rows ≈ −1e9).
+
+    Mirrors `ActorCritic.__call__` (bf16 torso, f32 actor head) on the
+    transposed layout; shared by the Pallas kernel and the XLA twin.
+    """
+    t = (vw & 15) * vis
+    c = ((vw >> 4) & 15) * vis
+    s = ((vw >> 8) & 15) * vis
+    rows = []
+    for chan, width in zip((t, c, s), _WIDTHS):
+        for val in range(width):
+            rows.append((chan == val).astype(jnp.bfloat16))
+    feats = jnp.concatenate(rows, axis=0)  # (V²·20, B) bf16
+    h1 = jnp.dot(w.wt1, feats, preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1.astype(jnp.bfloat16) + w.b1, 0)
+    h2 = jnp.dot(w.wt2, h1, preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2.astype(jnp.bfloat16) + w.b2, 0)
+    logits = jnp.dot(
+        w.wta, h2.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return logits + w.ba
+
+
+def sample_categorical(logits, seed_row, num_actions: int) -> jnp.ndarray:
+    """(8, B) logits + (1, B) int32 seeds -> (1, B) int32 actions.
+
+    Inverse-CDF on the softmax with one 31-bit Threefry uniform per lane —
+    pure elementwise int/float math, identical in the kernel and the XLA
+    twin (which is what makes the two backends byte-equivalent; the recipe
+    intentionally does NOT try to match `jax.random.categorical`, whose
+    Gumbel path needs 8 uniforms per draw).
+    """
+    u31 = prng.hash_u31(seed_row, jnp.full_like(seed_row, _SEED_SALT), 0)
+    u01 = u31.astype(jnp.float32) * jnp.float32(2.0 ** -31)
+    m = jnp.max(logits, axis=0, keepdims=True)
+    p = jnp.exp(logits - m)  # pad rows exp(−1e9) = 0
+    thresh = u01 * jnp.sum(p, axis=0, keepdims=True)
+    cum = jnp.zeros_like(thresh)
+    hits = jnp.zeros_like(seed_row)
+    for a in range(num_actions):
+        cum = cum + p[a : a + 1, :]
+        hits = hits + (cum > thresh).astype(jnp.int32)
+    return num_actions - hits
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+
+def _policy_kernel(
+    # inputs
+    words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref, seeds_ref,
+    wt1_ref, b1_ref, wt2_ref, b2_ref, wta_ref, ba_ref,
+    # outputs
+    words_out_ref, regs_out_ref, rsum_ref, counts_ref,
+    # scratch
+    words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s,
+    *,
+    width: int,
+    height: int,
+    view: int,
+    max_steps: int,
+    step_chunk: int,
+    see_through_walls: bool,
+    num_actions: int,
+    hook=None,
+    remap_action=None,
+    pre_hook=None,
+):
+    obs = functools.partial(
+        _obs_core,
+        width=width, height=height, view=view,
+        see_through_walls=see_through_walls, row_reader=_sliced_rows,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        words_s[:] = words0_ref[:]
+        regs_s[:] = regs0_ref[:]
+        vw0, vis0 = obs(words0_ref[:], regs0_ref[:])
+        vw_s[:] = vw0
+        vis_s[:] = vis0
+        rsum_s[:] = jnp.zeros_like(rsum_s)
+        epi_s[:] = jnp.zeros_like(epi_s)
+        csum_s[:] = jnp.zeros_like(csum_s)
+
+    w = EvalWeights(
+        wt1=wt1_ref[:], b1=b1_ref[:], wt2=wt2_ref[:], b2=b2_ref[:],
+        wta=wta_ref[:], ba=ba_ref[:],
+    )
+    tmpl_words = tmpl_words_ref[:]
+    tmpl_regs = tmpl_regs_ref[:]
+
+    def step(t, _):
+        logits = policy_logits(vw_s[:], vis_s[:], w, view)
+        a = sample_categorical(
+            logits, seeds_ref[pl.ds(t, 1), :], num_actions
+        )
+        words2, regs2, reward, done, obs_sum, vw2, vis2 = _step_core(
+            words_s[:], regs_s[:], a, tmpl_words, tmpl_regs,
+            width=width, height=height, view=view, max_steps=max_steps,
+            see_through_walls=see_through_walls, row_reader=_sliced_rows,
+            hook=hook, remap_action=remap_action, pre_hook=pre_hook,
+            with_obs=True,
+        )
+        words_s[:] = words2
+        regs_s[:] = regs2
+        vw_s[:] = vw2
+        vis_s[:] = vis2
+        rsum_s[:] = rsum_s[:] + reward
+        epi_s[:] = epi_s[:] + done.astype(jnp.int32)
+        csum_s[:] = csum_s[:] + obs_sum
+        return 0
+
+    lax.fori_loop(0, step_chunk, step, 0)
+
+    words_out_ref[:] = words_s[:]
+    regs_out_ref[:] = regs_s[:]
+    rsum_ref[:] = rsum_s[:]
+    counts_ref[:] = jnp.concatenate([epi_s[:], csum_s[:]], axis=0)
+
+
+def _auto_lane_block_policy(hw: int, view: int, step_chunk: int) -> int:
+    """VMEM-budgeted lane block: env state ×4 + obs scratch + the feature /
+    hidden temporaries (bf16 ≈ half-words) + the weight block."""
+    v2 = view * view
+    weight_bytes = (256 * v2 * _F + 256 * 256 + 8 * 256) * 2 + 4096
+    words_per_lane = (
+        4 * hw + 4 * NUM_REGS + step_chunk + 8
+        + 2 * v2  # vw/vis scratch
+        + (v2 * _F) // 2 + 256  # feature block + hidden (bf16)
+        + 64  # temporaries slack
+    )
+    max_lanes = max(0, _VMEM_BUDGET_BYTES - weight_bytes) // (4 * words_per_lane)
+    return (max_lanes // 128) * 128
+
+
+def policy_rollout_supported(env: Env, mode: str = "cached") -> bool:
+    """True iff the fused policy-eval rollout supports `env` under `mode`
+    (cached, or regen on deterministic-layout families)."""
+    from minigrid_tpu.ops.fused_rollout import _has_packed_step
+
+    if not _has_packed_step(env):
+        return False
+    if mode == "cached":
+        pass
+    elif mode == "regen":
+        if not _regen_is_static(env):
+            return False  # chunked-regen policy eval: XLA loops for now
+    else:
+        return False
+    cfg = env.config
+    return (
+        _auto_lane_block_policy(
+            cfg.width * cfg.height, cfg.agent_view_size, 128
+        )
+        >= 128
+    )
+
+
+def build_policy_eval_rollout(
+    env: Env,
+    params,
+    num_steps: int,
+    mode: str = "cached",
+    backend: str = "pallas",
+    lane_block: Optional[int] = None,
+    step_chunk: int = 128,
+    interpret: Optional[bool] = None,
+    as_carry: bool = False,
+):
+    """Returns `rollout(key, states) -> (states, RolloutMetrics)` running
+    the ACTOR inside the rollout (policy-in-the-loop evaluation), or with
+    `as_carry=True` the steady surface `step(key, carry)` over a
+    `PackedCarry` from `packed_init`.
+
+    `params` are flax `ActorCritic` params (converted once via
+    `eval_weights_from_params`). The key only seeds the per-(step, lane)
+    sampling stream; backends "pallas" and "xla" consume identical seeds
+    and share the policy/sampling math, so they are step-for-step
+    equivalent (tests/test_policy_rollout.py).
+    """
+    if not policy_rollout_supported(env, mode):
+        raise ValueError(
+            f"policy rollout (mode={mode!r}) does not support {env.env_id!r}"
+        )
+    cfg = env.config
+    v = cfg.agent_view_size
+    hw = cfg.width * cfg.height
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    weights = eval_weights_from_params(params, v)
+    hook, remap_action, pre_hook = _packed_hook(env)
+    tc = _fit_chunk(num_steps, step_chunk)
+    num_chunks = num_steps // tc
+
+    auto_bt = _auto_lane_block_policy(hw, v, tc)
+    if lane_block is None:
+        lane_block = min(512, auto_bt)
+    if lane_block > auto_bt:
+        raise ValueError(
+            f"lane_block={lane_block} exceeds the VMEM budget (max {auto_bt})"
+        )
+
+    def seeds_for(key, b):
+        bits = jax.random.bits(key, (num_steps, b), dtype=jnp.uint32)
+        return lax.bitcast_convert_type(bits, jnp.int32)
+
+    if backend == "pallas":
+        kernel = functools.partial(
+            _policy_kernel,
+            width=cfg.width, height=cfg.height, view=v,
+            max_steps=cfg.max_steps, step_chunk=tc,
+            see_through_walls=cfg.see_through_walls,
+            num_actions=cfg.num_actions,
+            hook=hook, remap_action=remap_action, pre_hook=pre_hook,
+        )
+
+        def run_core(words0, regs0, tmpl_words, tmpl_regs, seeds):
+            b = words0.shape[1]
+            bt = min(lane_block, b)
+            if b % bt:
+                raise ValueError(f"batch {b} not divisible by block {bt}")
+            state_block = lambda rows: pl.BlockSpec(
+                (rows, bt), lambda i, j: (0, i)
+            )
+            rep = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0))
+            words_f, regs_f, rsum, counts = pl.pallas_call(
+                kernel,
+                grid=(b // bt, num_chunks),
+                in_specs=[
+                    state_block(hw),
+                    state_block(NUM_REGS),
+                    state_block(hw),
+                    state_block(NUM_REGS),
+                    pl.BlockSpec((tc, bt), lambda i, j: (j, i)),
+                    rep(weights.wt1), rep(weights.b1),
+                    rep(weights.wt2), rep(weights.b2),
+                    rep(weights.wta), rep(weights.ba),
+                ],
+                out_specs=[
+                    state_block(hw),
+                    state_block(NUM_REGS),
+                    state_block(1),
+                    state_block(2),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((hw, b), jnp.int32),
+                    jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
+                    jax.ShapeDtypeStruct((1, b), jnp.float32),
+                    jax.ShapeDtypeStruct((2, b), jnp.int32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((hw, bt), jnp.int32),
+                    pltpu.VMEM((NUM_REGS, bt), jnp.int32),
+                    pltpu.VMEM((v * v, bt), jnp.int32),
+                    pltpu.VMEM((v * v, bt), jnp.int32),
+                    pltpu.VMEM((1, bt), jnp.float32),
+                    pltpu.VMEM((1, bt), jnp.int32),
+                    pltpu.VMEM((1, bt), jnp.int32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                ),
+                interpret=interpret,
+            )(
+                words0, regs0, tmpl_words, tmpl_regs, seeds,
+                *weights,
+            )
+            return words_f, regs_f, rsum, counts[0:1], counts[1:2]
+
+    elif backend == "xla":
+        step_math = functools.partial(
+            _step_core,
+            width=cfg.width, height=cfg.height, view=v,
+            max_steps=cfg.max_steps,
+            see_through_walls=cfg.see_through_walls,
+            row_reader=_matmul_rows,
+            hook=hook, remap_action=remap_action, pre_hook=pre_hook,
+            with_obs=True,
+        )
+        obs0_fn = functools.partial(
+            _obs_core,
+            width=cfg.width, height=cfg.height, view=v,
+            see_through_walls=cfg.see_through_walls,
+            row_reader=_matmul_rows,
+        )
+
+        def run_core(words0, regs0, tmpl_words, tmpl_regs, seeds):
+            b = words0.shape[1]
+            vw0, vis0 = obs0_fn(words0, regs0)
+            zeros_f = jnp.zeros((1, b), jnp.float32)
+            zeros_i = jnp.zeros((1, b), jnp.int32)
+
+            def body(carry, seed_t):
+                words, regs, vw, vis, rsum, epi, csum = carry
+                logits = policy_logits(vw, vis, weights, v)
+                a = sample_categorical(
+                    logits, seed_t[None, :], cfg.num_actions
+                )
+                words2, regs2, reward, done, obs_sum, vw2, vis2 = step_math(
+                    words, regs, a, tmpl_words, tmpl_regs
+                )
+                return (
+                    words2, regs2, vw2, vis2,
+                    rsum + reward,
+                    epi + done.astype(jnp.int32),
+                    csum + obs_sum,
+                ), None
+
+            (words_f, regs_f, _, _, rsum, epi, csum), _ = lax.scan(
+                body, (words0, regs0, vw0, vis0, zeros_f, zeros_i, zeros_i),
+                seeds,
+            )
+            return words_f, regs_f, rsum, epi, csum
+
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def step_carry(key: jax.Array, carry: PackedCarry):
+        b = carry.words.shape[1]
+        seeds = seeds_for(key, b)
+        words_f, regs_f, rsum, epi, csum = run_core(
+            carry.words, carry.regs, carry.tmpl_words, carry.tmpl_regs, seeds
+        )
+        rng = carry.rng
+        if mode == "regen":
+            rng = _replay_rng_chain(env, rng, epi[0])
+        metrics = RolloutMetrics(
+            episodes=jnp.sum(epi),
+            total_reward=jnp.sum(rsum),
+            total_steps=jnp.int32(b * num_steps),
+            obs_checksum=jnp.sum(csum),
+            reset_overlaps=jnp.zeros((), jnp.int32),
+        )
+        return (
+            PackedCarry(words_f, regs_f, carry.tmpl_words, carry.tmpl_regs,
+                        rng),
+            metrics,
+        )
+
+    if as_carry:
+        return step_carry
+
+    def rollout(key: jax.Array, states: EnvState):
+        carry = packed_init(env, states, mode)
+        carry, metrics = step_carry(key, carry)
+        return packed_finish(env, carry), metrics
+
+    return rollout

@@ -1,0 +1,170 @@
+"""Policy-in-kernel evaluation rollout (ops/policy_rollout.py).
+
+Three contracts: (1) the kernel's transposed/permuted policy math agrees
+with the flax `ActorCritic` forward to bf16 matmul-order tolerance;
+(2) the Pallas kernel (interpret mode) and the XLA twin are step-for-step
+identical under the same sampling seeds; (3) sampling is a valid
+categorical draw (inverse-CDF, bounded actions, matches a host replay).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minigrid_tpu
+from minigrid_tpu.core.obs import gen_obs_image
+from minigrid_tpu.models.policy import ActorCritic
+from minigrid_tpu.ops.fused_rollout import (
+    _agent_base,
+    _obs_core,
+    _roll_to_base,
+    pack_states,
+)
+from minigrid_tpu.ops.policy_rollout import (
+    build_policy_eval_rollout,
+    eval_weights_from_params,
+    policy_logits,
+    policy_rollout_supported,
+    sample_categorical,
+)
+
+B = 128
+
+
+def _model_and_params(env, seed=0):
+    model = ActorCritic(num_actions=env.num_actions)
+    v = env.config.agent_view_size
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, v, v, 3), jnp.uint8)
+    )
+    return model, params
+
+
+def _packed_view(env, states):
+    cfg = env.config
+    words, regs = pack_states(states)
+    words = _roll_to_base(words, _agent_base(regs, cfg.width))
+    return _obs_core(
+        words, regs,
+        width=cfg.width, height=cfg.height, view=cfg.agent_view_size,
+        see_through_walls=cfg.see_through_walls,
+    )
+
+
+class TestPolicyLogits:
+    @pytest.mark.parametrize(
+        "env_id", ["MiniGrid-Empty-8x8-v0", "MiniGrid-DoorKey-5x5-v0"]
+    )
+    def test_matches_flax_forward(self, env_id):
+        env = minigrid_tpu.make(env_id)
+        cfg = env.config
+        model, params = _model_and_params(env)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(1), 64
+        )
+        # Walk a few steps so doors/carrying vary.
+        key = jax.random.PRNGKey(2)
+        for _ in range(6):
+            key, k = jax.random.split(key)
+            a = jax.random.randint(k, (64,), 0, cfg.num_actions)
+            states, *_ = jax.jit(env.step_batch)(states, a)
+
+        vw, vis = _packed_view(env, states)
+        w = eval_weights_from_params(params, cfg.agent_view_size)
+        got = policy_logits(vw, vis, w, cfg.agent_view_size)  # (8, B)
+
+        obs = jax.vmap(lambda s: gen_obs_image(s, cfg))(states)
+        want, _ = model.apply(params, obs)  # (B, A)
+
+        a = want.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(got[:a].T), np.asarray(want), rtol=0.05, atol=0.05
+        )
+        # Pad logits can never win the sampling.
+        assert float(jnp.max(got[a:])) < -1e8
+
+    def test_sample_categorical_valid_and_replayable(self):
+        logits = jnp.asarray(
+            np.random.default_rng(0).normal(size=(8, 256)), jnp.float32
+        ).at[7:].set(-1e9)
+        seeds = jnp.asarray(
+            np.random.default_rng(1).integers(-(2**31), 2**31, size=(1, 256)),
+            jnp.int32,
+        )
+        a = sample_categorical(logits, seeds, 7)
+        assert int(jnp.min(a)) >= 0 and int(jnp.max(a)) < 7
+        # Deterministic in (logits, seed).
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(sample_categorical(logits, seeds, 7))
+        )
+        # Host replay of the inverse-CDF recipe.
+        from minigrid_tpu.core.prng import hash_u31
+
+        u31 = hash_u31(seeds, jnp.full_like(seeds, 0x243F6A88), 0)
+        u01 = np.asarray(u31, np.float32) * 2.0 ** -31
+        p = np.exp(np.asarray(logits[:7]) - np.asarray(logits[:7]).max(0))
+        cum = np.cumsum(p, axis=0)
+        want = (cum > u01 * p.sum(0)).argmax(0)
+        np.testing.assert_array_equal(np.asarray(a)[0], want)
+
+
+class TestPolicyEvalRollout:
+    CASES = [
+        ("MiniGrid-Empty-8x8-v0", "cached", 48),
+        ("MiniGrid-Empty-5x5-v0", "regen", 128),  # truncation resets
+        ("MiniGrid-DoorKey-5x5-v0", "cached", 48),
+        ("MiniGrid-LavaGapS5-v0", "cached", 48),  # terminations
+    ]
+
+    @pytest.mark.parametrize("env_id,mode,steps", CASES)
+    def test_kernel_matches_xla_twin(self, env_id, mode, steps):
+        env = minigrid_tpu.make(env_id)
+        assert policy_rollout_supported(env, mode)
+        _, params = _model_and_params(env)
+        key = jax.random.PRNGKey(3)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+
+        xla = jax.jit(
+            build_policy_eval_rollout(
+                env, params, steps, mode=mode, backend="xla"
+            )
+        )
+        pal = jax.jit(
+            build_policy_eval_rollout(
+                env, params, steps, mode=mode, backend="pallas",
+                interpret=True, step_chunk=16,
+            )
+        )
+        sx, mx = xla(key, states)
+        sp, mp = pal(key, states)
+        assert int(mx.episodes) == int(mp.episodes)
+        assert int(mx.obs_checksum) == int(mp.obs_checksum)
+        assert int(mx.total_steps) == int(mp.total_steps) == B * steps
+        np.testing.assert_allclose(
+            float(mx.total_reward), float(mp.total_reward), rtol=1e-5,
+            atol=1e-5,
+        )
+        for la, lb in zip(jax.tree.leaves(sx), jax.tree.leaves(sp)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_resets_fire_under_policy(self):
+        env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+        _, params = _model_and_params(env)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(4), B
+        )
+        rollout = jax.jit(
+            build_policy_eval_rollout(
+                env, params, 128, mode="regen", backend="xla"
+            )
+        )
+        _, m = rollout(jax.random.PRNGKey(5), states)
+        assert int(m.episodes) >= B  # max_steps=100 forces truncations
+
+    def test_unsupported_chunked_regen(self):
+        env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+        assert not policy_rollout_supported(env, "regen")
+        with pytest.raises(ValueError):
+            build_policy_eval_rollout(env, {}, 8, mode="regen")
