@@ -152,3 +152,64 @@ def build_sharded_rollout(
         return sharded(key, state_in)
 
     return rollout
+
+
+def build_sharded_policy_eval(
+    env: Env,
+    params,
+    num_steps: int,
+    mesh: Mesh,
+    mode: str = "cached",
+    backend: str = "auto",
+    as_carry: bool = False,
+):
+    """Policy-in-kernel evaluation rollout (ops/policy_rollout.py) sharded
+    over the mesh's 'env' axis: actor weights replicate into every shard's
+    VMEM, env lanes split, metrics psum — the data-parallel serving path.
+    Same surfaces as `build_sharded_rollout` (states in, or a sharded
+    `PackedCarry` with `as_carry=True`)."""
+    from minigrid_tpu.ops.policy_rollout import build_policy_eval_rollout
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    inner = build_policy_eval_rollout(
+        env, params, num_steps, mode=mode, backend=backend, as_carry=True
+    )
+
+    def shard_body(key: jax.Array, carry):
+        key = jax.random.fold_in(key, lax.axis_index(ENV_AXIS))
+        carry, m = inner(key, carry)
+        metrics = RolloutMetrics(
+            episodes=lax.psum(m.episodes, ENV_AXIS),
+            total_reward=lax.psum(m.total_reward, ENV_AXIS),
+            total_steps=lax.psum(m.total_steps, ENV_AXIS),
+            obs_checksum=lax.psum(m.obs_checksum, ENV_AXIS),
+            reset_overlaps=lax.psum(jnp.asarray(m.reset_overlaps), ENV_AXIS),
+        )
+        return carry, metrics
+
+    lane = P(None, ENV_AXIS)
+    carry_spec = PackedCarry(
+        words=lane, regs=lane, tmpl_words=lane, tmpl_regs=lane,
+        rng=P(ENV_AXIS),
+    )
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), carry_spec),
+        out_specs=(carry_spec, P()),
+        check_vma=False,
+    )
+
+    if as_carry:
+        return jax.jit(sharded)
+
+    from minigrid_tpu.ops.fused_rollout import packed_finish, packed_init
+
+    @jax.jit
+    def rollout(key: jax.Array, states):
+        carry = shard_carry(packed_init(env, states, mode), mesh)
+        carry, metrics = sharded(key, carry)
+        return packed_finish(env, carry), metrics
+
+    return rollout

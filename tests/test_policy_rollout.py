@@ -168,3 +168,44 @@ class TestPolicyEvalRollout:
         assert not policy_rollout_supported(env, "regen")
         with pytest.raises(ValueError):
             build_policy_eval_rollout(env, {}, 8, mode="regen")
+
+
+class TestShardedPolicyEval:
+    def test_sharded_matches_per_shard_replay(self):
+        """8-device mesh: each shard must equal the single-chip policy
+        rollout replayed under its folded key (the build_sharded_rollout
+        determinism contract, extended to the policy surface)."""
+        from minigrid_tpu.parallel.packed import build_sharded_policy_eval
+        from minigrid_tpu.parallel.sharding import make_env_mesh, shard_states
+
+        env = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+        _, params = _model_and_params(env)
+        mesh = make_env_mesh()
+        n = mesh.devices.size
+        b = 128 * n
+        key = jax.random.PRNGKey(9)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, b)
+        states = shard_states(states, mesh)
+
+        rollout = build_sharded_policy_eval(
+            env, params, 32, mesh, mode="cached", backend="xla"
+        )
+        final, m = rollout(key, states)
+        assert int(m.total_steps) == b * 32
+
+        # Replay shard 0 through the single-chip builder.
+        single = jax.jit(
+            build_policy_eval_rollout(
+                env, params, 32, mode="cached", backend="xla"
+            )
+        )
+        shard0 = jax.tree.map(lambda x: x[: b // n], states)
+        k0 = jax.random.fold_in(key, 0)
+        s0, m0 = single(k0, shard0)
+        np.testing.assert_array_equal(
+            np.asarray(final.grid[: b // n]), np.asarray(s0.grid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(final.agent_pos[: b // n]), np.asarray(s0.agent_pos)
+        )
