@@ -174,15 +174,45 @@ def run_train(
         init_train_state,
     )
 
+    from minigrid_tpu.ops.policy_rollout import policy_rollout_supported
+
     env = minigrid_tpu.make(env_id)
     mesh = make_env_mesh()
     if path == "auto":
         path = "packed" if fused_rollout_supported(env, mode=mode) else "vmap"
-    if path == "pallas":
-        # No Pallas train engine exists; the packed XLA train step is the
-        # fast path. Say so instead of silently mislabeling the metric.
-        print("# --train --path pallas: using the packed XLA train step")
+    if path == "pallas" and not policy_rollout_supported(env, mode):
+        print("# --train --path pallas: fused train rollout unsupported for "
+              f"{env_id} mode={mode}; using the packed XLA train step")
         path = "packed"
+
+    key = jax.random.PRNGKey(0)
+    key, k_env, k_model = jax.random.split(key, 3)
+    ts = init_train_state(k_model, env, mesh)
+    states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, batch_size)
+    states = shard_states(states, mesh)
+
+    if path == "pallas":
+        # Fully fused train step: policy-in-kernel rollout with trajectory
+        # spill, over the steady PackedCarry surface.
+        from minigrid_tpu.ops.fused_rollout import packed_init
+        from minigrid_tpu.parallel.train import build_fused_train_step
+
+        step = build_fused_train_step(
+            env, mesh, num_steps=num_steps, mode=mode, time_chunk=time_chunk
+        )
+        carry = jax.jit(lambda s: packed_init(env, s, mode))(states)
+        ts, carry, metrics = step(ts, carry, key)  # compile + warm up
+        float(metrics["loss"])
+        best = 0.0
+        for i in range(iters):
+            key = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            ts, carry, metrics = step(ts, carry, key)
+            float(metrics["loss"])
+            dt = time.perf_counter() - t0
+            best = max(best, batch_size * num_steps / dt)
+        return best
+
     if path == "vmap":
         step = build_train_step(
             env, mesh, num_steps=num_steps, mode=mode, time_chunk=time_chunk
@@ -191,12 +221,6 @@ def run_train(
         step = build_packed_train_step(
             env, mesh, num_steps=num_steps, mode=mode, time_chunk=time_chunk
         )
-
-    key = jax.random.PRNGKey(0)
-    key, k_env, k_model = jax.random.split(key, 3)
-    ts = init_train_state(k_model, env, mesh)
-    states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_env, batch_size)
-    states = shard_states(states, mesh)
 
     ts, states, metrics = step(ts, states, key)  # compile + warm up
     float(metrics["loss"])

@@ -1,14 +1,12 @@
-"""Policy-in-kernel evaluation rollouts: the actor fused into the step kernel.
+"""Policy-in-kernel rollouts: the actor fused into the packed step kernel.
 
 The packed train step (`parallel/train.py`) runs env simulation in the
 packed lane layout but hops back to XLA between steps for the policy
 apply — per step the `(HW, B)` state round-trips HBM, the obs converts to
 a `(B, V, V, 3)` image, one-hots to a `(B, 980)` feature block, and one
 `(B, 980)×(980, 256)` matmul runs per step (BASELINE.md "Train-step
-profile" attributes ~42% of the train budget to this rollout side). For
-EVALUATION — serving a trained policy, measuring success rates, collecting
-on-policy statistics — none of the trajectory needs to leave the chip, so
-this module fuses the WHOLE loop into the rollout kernel:
+profile" attributes ~42% of the train budget to this rollout side). This
+module fuses the WHOLE policy-in-the-loop rollout into the kernel:
 
   * the actor-critic torso runs on the MXU inside the kernel: weights
     (~0.7 MB bf16) ride in VMEM next to the env state, features are built
@@ -26,17 +24,30 @@ this module fuses the WHOLE loop into the rollout kernel:
   * everything else (transition, occlusion flood, auto-reset, metrics) is
     the shared `_step_core` of `ops/fused_rollout.py`.
 
+Two surfaces:
+
+  * **Evaluation** (`build_policy_eval_rollout`) — serving/eval: nothing
+    leaves the chip but metrics. Measured 160.9M env-steps/s with the
+    actor in the loop (Empty-8x8, B=1M, 1× v5e) vs 13.6M for the unfused
+    XLA policy loop.
+  * **Training collection** (`build_fused_train_rollout` /
+    `parallel.train.build_fused_train_step`) — the same kernel
+    additionally SPILLS the trajectory per step (packed obs words, action,
+    log-prob, value, reward, done) to HBM output blocks; the time-chunked
+    gradient pass (`parallel.train._trajectory_grads`) then consumes it.
+    The critic rides as the 8th row of the padded head matrix.
+
 Scope: cached auto-reset and static-layout regen (the plain carry paths).
-Chunked-regen policy evaluation falls back to the XLA twin via
-`parallel/train.py`-style loops (the freeze/re-entry protocol composes
-with online actions — they are pure functions of the replayed state — but
-the fused variant is not built yet).
+Chunked-regen policy evaluation falls back to the XLA loops of
+`parallel/train.py` (the freeze/re-entry protocol composes with online
+actions — they are pure functions of the replayed state — but the fused
+variant is not built).
 
 Equivalence to the flax model: `policy_logits` mirrors
 `models.policy.ActorCritic.__call__` op for op (bf16 torso matmuls with
-bf16 outputs, f32 actor head) on a transposed weight layout, so it agrees
-with `model.apply` to bf16 matmul-order tolerance (asserted allclose);
-kernel vs XLA twin agree exactly (same ops, same order).
+bf16 outputs, f32 head) on a transposed weight layout, so it agrees with
+`model.apply` to bf16 matmul-order tolerance (asserted allclose); kernel
+vs XLA twin agree exactly (same ops, same order).
 """
 
 from __future__ import annotations
@@ -80,12 +91,14 @@ _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 class EvalWeights(NamedTuple):
-    """Actor weights in the kernel's transposed, feature-permuted layout.
+    """Actor(-critic) weights in the kernel's transposed, permuted layout.
 
     `wt1` is `(H1, V²·20)` bf16 over the VALUE-MAJOR feature rows the
     kernel builds (row `off_ch + v·V² + kv` = one-hot of channel value `v`
-    at packed view cell `kv`); `wta` is the actor head padded to 8 rows
-    (pad logits pinned to −1e9 so sampling never picks them).
+    at packed view cell `kv`); `wta` is the 8-row head: rows
+    `0..num_actions-1` = actor logits, unused rows pinned to −1e9 bias,
+    and — when built by `train_weights_from_params` — row 7 = the critic
+    (`sample_categorical` only ever reads the actor rows).
     """
 
     wt1: jnp.ndarray  # (H1, F_total) bf16
@@ -137,10 +150,22 @@ def eval_weights_from_params(params, view: int) -> EvalWeights:
     )
 
 
-def policy_logits(vw, vis, w: EvalWeights, view: int) -> jnp.ndarray:
-    """(V², B) packed view -> (8, B) f32 logits (pad rows ≈ −1e9).
+def train_weights_from_params(params, view: int) -> EvalWeights:
+    """Like `eval_weights_from_params`, with the critic head in row 7."""
+    w = eval_weights_from_params(params, view)
+    p = params["params"]
+    wv = jnp.asarray(p["critic"]["kernel"], jnp.float32)  # (H2, 1)
+    bv = jnp.asarray(p["critic"]["bias"], jnp.float32)  # (1,)
+    return w._replace(
+        wta=w.wta.at[7, :].set(wv[:, 0]),
+        ba=w.ba.at[7, 0].set(bv[0]),
+    )
 
-    Mirrors `ActorCritic.__call__` (bf16 torso, f32 actor head) on the
+
+def policy_logits(vw, vis, w: EvalWeights, view: int) -> jnp.ndarray:
+    """(V², B) packed view -> (8, B) f32 head rows (actor [+ critic]).
+
+    Mirrors `ActorCritic.__call__` (bf16 torso, f32 head) on the
     transposed layout; shared by the Pallas kernel and the XLA twin.
     """
     t = (vw & 15) * vis
@@ -162,41 +187,74 @@ def policy_logits(vw, vis, w: EvalWeights, view: int) -> jnp.ndarray:
 
 
 def sample_categorical(logits, seed_row, num_actions: int) -> jnp.ndarray:
-    """(8, B) logits + (1, B) int32 seeds -> (1, B) int32 actions.
+    """(8, B) head rows + (1, B) int32 seeds -> (1, B) int32 actions."""
+    a, _ = sample_categorical_with_logp(logits, seed_row, num_actions)
+    return a
 
-    Inverse-CDF on the softmax with one 31-bit Threefry uniform per lane —
-    pure elementwise int/float math, identical in the kernel and the XLA
-    twin (which is what makes the two backends byte-equivalent; the recipe
-    intentionally does NOT try to match `jax.random.categorical`, whose
-    Gumbel path needs 8 uniforms per draw).
+
+def sample_categorical_with_logp(logits, seed_row, num_actions: int):
+    """Inverse-CDF categorical over the first `num_actions` head rows with
+    one 31-bit Threefry uniform per lane — pure elementwise int/float
+    math, identical in the kernel and the XLA twin (which is what makes
+    the two backends byte-equivalent; the recipe intentionally does NOT
+    try to match `jax.random.categorical`, whose Gumbel path needs one
+    uniform per action per draw). Also returns the sampled action's
+    log-probability. Rows ≥ `num_actions` (head padding / the critic) are
+    never read.
     """
     u31 = prng.hash_u31(seed_row, jnp.full_like(seed_row, _SEED_SALT), 0)
     u01 = u31.astype(jnp.float32) * jnp.float32(2.0 ** -31)
-    m = jnp.max(logits, axis=0, keepdims=True)
-    p = jnp.exp(logits - m)  # pad rows exp(−1e9) = 0
-    thresh = u01 * jnp.sum(p, axis=0, keepdims=True)
-    cum = jnp.zeros_like(thresh)
+    m = logits[0:1, :]
+    for i in range(1, num_actions):
+        m = jnp.maximum(m, logits[i : i + 1, :])
+    p_rows = [jnp.exp(logits[i : i + 1, :] - m) for i in range(num_actions)]
+    cums = []
+    cum = jnp.zeros_like(u01)
+    for p in p_rows:
+        cum = cum + p
+        cums.append(cum)
+    total = cum
+    thresh = u01 * total
     hits = jnp.zeros_like(seed_row)
-    for a in range(num_actions):
-        cum = cum + p[a : a + 1, :]
-        hits = hits + (cum > thresh).astype(jnp.int32)
-    return num_actions - hits
+    for cu in cums:
+        hits = hits + (cu > thresh).astype(jnp.int32)
+    action = num_actions - hits
+    l_a = jnp.zeros_like(u01)
+    for i in range(num_actions):
+        l_a = jnp.where(action == i, logits[i : i + 1, :], l_a)
+    logp = (l_a - m) - jnp.log(total)
+    return action, logp
+
+
+def pack_obs_words(vw, vis):
+    """(V², B) view + visibility -> one int32 obs word per cell: the
+    `(type, color, state)` triple of the encoded observation, zero when
+    occluded — the compact trajectory form the fused train rollout spills
+    (12 bits/cell vs the 3-byte image channel encoding)."""
+    return (vw & 0xFFF) * vis
+
+
+def obs_words_to_images(words: jnp.ndarray, view: int) -> jnp.ndarray:
+    """(..., V², B) packed obs words -> (..., B, V, V, 3) uint8 images
+    byte-identical to `core.obs.gen_obs_image` ([x, y]-indexed)."""
+    t = words & 15
+    c = (words >> 4) & 15
+    s = (words >> 8) & 15
+    img = jnp.stack([t, c, s], axis=-1)  # (..., V², B, 3); kv = y·V + x
+    img = img.reshape(img.shape[:-3] + (view, view, -1, 3))  # (..., y, x, B, 3)
+    perm = tuple(range(img.ndim - 4)) + (
+        img.ndim - 2, img.ndim - 3, img.ndim - 4, img.ndim - 1,
+    )
+    return img.transpose(perm).astype(jnp.uint8)  # (..., B, x, y, 3)
 
 
 # --------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernel (eval: metrics only; collect: + trajectory spill)
 # --------------------------------------------------------------------------
 
 
 def _policy_kernel(
-    # inputs
-    words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref, seeds_ref,
-    wt1_ref, b1_ref, wt2_ref, b2_ref, wta_ref, ba_ref,
-    # outputs
-    words_out_ref, regs_out_ref, rsum_ref, counts_ref,
-    # scratch
-    words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s,
-    *,
+    *refs,
     width: int,
     height: int,
     view: int,
@@ -204,10 +262,26 @@ def _policy_kernel(
     step_chunk: int,
     see_through_walls: bool,
     num_actions: int,
+    collect: bool = False,
     hook=None,
     remap_action=None,
     pre_hook=None,
 ):
+    """Ref order: inputs (words0, regs0, tmpl_words, tmpl_regs, seeds,
+    wt1, b1, wt2, b2, wta, ba), outputs (words, regs, rsum, counts
+    [, obs_words, actions, logp, value, reward, done]), scratch (words,
+    regs, vw, vis, rsum, epi, csum)."""
+    (
+        words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref, seeds_ref,
+        wt1_ref, b1_ref, wt2_ref, b2_ref, wta_ref, ba_ref,
+        words_out_ref, regs_out_ref, rsum_ref, counts_ref, *rest
+    ) = refs
+    if collect:
+        (obs_ref, a_ref, logp_ref, value_ref, reward_ref, done_ref,
+         words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s) = rest
+    else:
+        (words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s) = rest
+
     obs = functools.partial(
         _obs_core,
         width=width, height=height, view=view,
@@ -231,12 +305,19 @@ def _policy_kernel(
     )
     tmpl_words = tmpl_words_ref[:]
     tmpl_regs = tmpl_regs_ref[:]
+    v2 = view * view
 
     def step(t, _):
         logits = policy_logits(vw_s[:], vis_s[:], w, view)
-        a = sample_categorical(
+        a, logp = sample_categorical_with_logp(
             logits, seeds_ref[pl.ds(t, 1), :], num_actions
         )
+        if collect:
+            # Pre-action trajectory entries (what the policy acted on).
+            obs_ref[pl.ds(t * v2, v2), :] = pack_obs_words(vw_s[:], vis_s[:])
+            a_ref[pl.ds(t, 1), :] = a
+            logp_ref[pl.ds(t, 1), :] = logp
+            value_ref[pl.ds(t, 1), :] = logits[7:8, :]
         words2, regs2, reward, done, obs_sum, vw2, vis2 = _step_core(
             words_s[:], regs_s[:], a, tmpl_words, tmpl_regs,
             width=width, height=height, view=view, max_steps=max_steps,
@@ -244,6 +325,9 @@ def _policy_kernel(
             hook=hook, remap_action=remap_action, pre_hook=pre_hook,
             with_obs=True,
         )
+        if collect:
+            reward_ref[pl.ds(t, 1), :] = reward
+            done_ref[pl.ds(t, 1), :] = done.astype(jnp.int32)
         words_s[:] = words2
         regs_s[:] = regs2
         vw_s[:] = vw2
@@ -277,7 +361,7 @@ def _auto_lane_block_policy(hw: int, view: int, step_chunk: int) -> int:
 
 
 def policy_rollout_supported(env: Env, mode: str = "cached") -> bool:
-    """True iff the fused policy-eval rollout supports `env` under `mode`
+    """True iff the fused policy rollouts support `env` under `mode`
     (cached, or regen on deterministic-layout families)."""
     from minigrid_tpu.ops.fused_rollout import _has_packed_step
 
@@ -287,7 +371,7 @@ def policy_rollout_supported(env: Env, mode: str = "cached") -> bool:
         pass
     elif mode == "regen":
         if not _regen_is_static(env):
-            return False  # chunked-regen policy eval: XLA loops for now
+            return False  # chunked-regen policy rollouts: XLA loops for now
     else:
         return False
     cfg = env.config
@@ -297,6 +381,187 @@ def policy_rollout_supported(env: Env, mode: str = "cached") -> bool:
         )
         >= 128
     )
+
+
+def _build_policy_core(
+    env: Env,
+    num_steps: int,
+    backend: str,
+    collect: bool,
+    lane_block: Optional[int],
+    step_chunk: int,
+    interpret: Optional[bool],
+):
+    """Returns `run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights)
+    -> (words_f, regs_f, rsum, epi, csum[, traj])` where `traj` (collect
+    only) is `(obs_words (T, V², B), actions (T, B), logp, value, reward
+    (T, B) f32, done (T, B) i32)`."""
+    cfg = env.config
+    v = cfg.agent_view_size
+    v2 = v * v
+    hw = cfg.width * cfg.height
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hook, remap_action, pre_hook = _packed_hook(env)
+    tc = _fit_chunk(num_steps, step_chunk)
+    num_chunks = num_steps // tc
+
+    if backend == "pallas":
+        auto_bt = _auto_lane_block_policy(hw, v, tc)
+        bt0 = min(512, auto_bt) if lane_block is None else lane_block
+        if bt0 > auto_bt:
+            raise ValueError(
+                f"lane_block={bt0} exceeds the VMEM budget (max {auto_bt})"
+            )
+        kernel = functools.partial(
+            _policy_kernel,
+            width=cfg.width, height=cfg.height, view=v,
+            max_steps=cfg.max_steps, step_chunk=tc,
+            see_through_walls=cfg.see_through_walls,
+            num_actions=cfg.num_actions, collect=collect,
+            hook=hook, remap_action=remap_action, pre_hook=pre_hook,
+        )
+
+        def run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights):
+            b = words0.shape[1]
+            bt = min(bt0, b)
+            if b % bt:
+                raise ValueError(f"batch {b} not divisible by block {bt}")
+            state_block = lambda rows: pl.BlockSpec(
+                (rows, bt), lambda i, j: (0, i)
+            )
+            tstep_block = lambda rows: pl.BlockSpec(
+                (rows, bt), lambda i, j: (j, i)
+            )
+            rep = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0))
+            out_specs = [
+                state_block(hw),
+                state_block(NUM_REGS),
+                state_block(1),
+                state_block(2),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((hw, b), jnp.int32),
+                jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
+                jax.ShapeDtypeStruct((1, b), jnp.float32),
+                jax.ShapeDtypeStruct((2, b), jnp.int32),
+            ]
+            if collect:
+                out_specs += [
+                    tstep_block(tc * v2),
+                    tstep_block(tc), tstep_block(tc),
+                    tstep_block(tc), tstep_block(tc), tstep_block(tc),
+                ]
+                out_shape += [
+                    jax.ShapeDtypeStruct((num_steps * v2, b), jnp.int32),
+                    jax.ShapeDtypeStruct((num_steps, b), jnp.int32),
+                    jax.ShapeDtypeStruct((num_steps, b), jnp.float32),
+                    jax.ShapeDtypeStruct((num_steps, b), jnp.float32),
+                    jax.ShapeDtypeStruct((num_steps, b), jnp.float32),
+                    jax.ShapeDtypeStruct((num_steps, b), jnp.int32),
+                ]
+            out = pl.pallas_call(
+                kernel,
+                grid=(b // bt, num_chunks),
+                in_specs=[
+                    state_block(hw),
+                    state_block(NUM_REGS),
+                    state_block(hw),
+                    state_block(NUM_REGS),
+                    tstep_block(tc),
+                    rep(weights.wt1), rep(weights.b1),
+                    rep(weights.wt2), rep(weights.b2),
+                    rep(weights.wta), rep(weights.ba),
+                ],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((hw, bt), jnp.int32),
+                    pltpu.VMEM((NUM_REGS, bt), jnp.int32),
+                    pltpu.VMEM((v2, bt), jnp.int32),
+                    pltpu.VMEM((v2, bt), jnp.int32),
+                    pltpu.VMEM((1, bt), jnp.float32),
+                    pltpu.VMEM((1, bt), jnp.int32),
+                    pltpu.VMEM((1, bt), jnp.int32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                ),
+                interpret=interpret,
+            )(words0, regs0, tmpl_words, tmpl_regs, seeds, *weights)
+            words_f, regs_f, rsum, counts, *traj = out
+            base = (words_f, regs_f, rsum, counts[0:1], counts[1:2])
+            if collect:
+                obs_w = traj[0].reshape(num_steps, v2, -1)
+                return base + ((obs_w,) + tuple(traj[1:]),)
+            return base
+
+        return run
+
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    step_math = functools.partial(
+        _step_core,
+        width=cfg.width, height=cfg.height, view=v,
+        max_steps=cfg.max_steps,
+        see_through_walls=cfg.see_through_walls,
+        row_reader=_matmul_rows,
+        hook=hook, remap_action=remap_action, pre_hook=pre_hook,
+        with_obs=True,
+    )
+    obs0_fn = functools.partial(
+        _obs_core,
+        width=cfg.width, height=cfg.height, view=v,
+        see_through_walls=cfg.see_through_walls,
+        row_reader=_matmul_rows,
+    )
+
+    def run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights):
+        b = words0.shape[1]
+        vw0, vis0 = obs0_fn(words0, regs0)
+        zeros_f = jnp.zeros((1, b), jnp.float32)
+        zeros_i = jnp.zeros((1, b), jnp.int32)
+
+        def body(carry, seed_t):
+            words, regs, vw, vis, rsum, epi, csum = carry
+            logits = policy_logits(vw, vis, weights, v)
+            a, logp = sample_categorical_with_logp(
+                logits, seed_t[None, :], cfg.num_actions
+            )
+            words2, regs2, reward, done, obs_sum, vw2, vis2 = step_math(
+                words, regs, a, tmpl_words, tmpl_regs
+            )
+            ys = None
+            if collect:
+                ys = (
+                    pack_obs_words(vw, vis),
+                    a[0], logp[0], logits[7], reward[0],
+                    done[0].astype(jnp.int32),
+                )
+            return (
+                words2, regs2, vw2, vis2,
+                rsum + reward,
+                epi + done.astype(jnp.int32),
+                csum + obs_sum,
+            ), ys
+
+        (words_f, regs_f, _, _, rsum, epi, csum), ys = lax.scan(
+            body, (words0, regs0, vw0, vis0, zeros_f, zeros_i, zeros_i),
+            seeds,
+        )
+        base = (words_f, regs_f, rsum, epi, csum)
+        if collect:
+            obs_w, a_t, logp_t, val_t, rew_t, done_t = ys
+            return base + ((obs_w, a_t, logp_t, val_t, rew_t, done_t),)
+        return base
+
+    return run
+
+
+def _seeds_for(key, num_steps, b):
+    bits = jax.random.bits(key, (num_steps, b), dtype=jnp.uint32)
+    return lax.bitcast_convert_type(bits, jnp.int32)
 
 
 def build_policy_eval_rollout(
@@ -325,144 +590,17 @@ def build_policy_eval_rollout(
         raise ValueError(
             f"policy rollout (mode={mode!r}) does not support {env.env_id!r}"
         )
-    cfg = env.config
-    v = cfg.agent_view_size
-    hw = cfg.width * cfg.height
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    weights = eval_weights_from_params(params, v)
-    hook, remap_action, pre_hook = _packed_hook(env)
-    tc = _fit_chunk(num_steps, step_chunk)
-    num_chunks = num_steps // tc
-
-    auto_bt = _auto_lane_block_policy(hw, v, tc)
-    if lane_block is None:
-        lane_block = min(512, auto_bt)
-    if lane_block > auto_bt:
-        raise ValueError(
-            f"lane_block={lane_block} exceeds the VMEM budget (max {auto_bt})"
-        )
-
-    def seeds_for(key, b):
-        bits = jax.random.bits(key, (num_steps, b), dtype=jnp.uint32)
-        return lax.bitcast_convert_type(bits, jnp.int32)
-
-    if backend == "pallas":
-        kernel = functools.partial(
-            _policy_kernel,
-            width=cfg.width, height=cfg.height, view=v,
-            max_steps=cfg.max_steps, step_chunk=tc,
-            see_through_walls=cfg.see_through_walls,
-            num_actions=cfg.num_actions,
-            hook=hook, remap_action=remap_action, pre_hook=pre_hook,
-        )
-
-        def run_core(words0, regs0, tmpl_words, tmpl_regs, seeds):
-            b = words0.shape[1]
-            bt = min(lane_block, b)
-            if b % bt:
-                raise ValueError(f"batch {b} not divisible by block {bt}")
-            state_block = lambda rows: pl.BlockSpec(
-                (rows, bt), lambda i, j: (0, i)
-            )
-            rep = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0))
-            words_f, regs_f, rsum, counts = pl.pallas_call(
-                kernel,
-                grid=(b // bt, num_chunks),
-                in_specs=[
-                    state_block(hw),
-                    state_block(NUM_REGS),
-                    state_block(hw),
-                    state_block(NUM_REGS),
-                    pl.BlockSpec((tc, bt), lambda i, j: (j, i)),
-                    rep(weights.wt1), rep(weights.b1),
-                    rep(weights.wt2), rep(weights.b2),
-                    rep(weights.wta), rep(weights.ba),
-                ],
-                out_specs=[
-                    state_block(hw),
-                    state_block(NUM_REGS),
-                    state_block(1),
-                    state_block(2),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((hw, b), jnp.int32),
-                    jax.ShapeDtypeStruct((NUM_REGS, b), jnp.int32),
-                    jax.ShapeDtypeStruct((1, b), jnp.float32),
-                    jax.ShapeDtypeStruct((2, b), jnp.int32),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((hw, bt), jnp.int32),
-                    pltpu.VMEM((NUM_REGS, bt), jnp.int32),
-                    pltpu.VMEM((v * v, bt), jnp.int32),
-                    pltpu.VMEM((v * v, bt), jnp.int32),
-                    pltpu.VMEM((1, bt), jnp.float32),
-                    pltpu.VMEM((1, bt), jnp.int32),
-                    pltpu.VMEM((1, bt), jnp.int32),
-                ],
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("parallel", "arbitrary"),
-                ),
-                interpret=interpret,
-            )(
-                words0, regs0, tmpl_words, tmpl_regs, seeds,
-                *weights,
-            )
-            return words_f, regs_f, rsum, counts[0:1], counts[1:2]
-
-    elif backend == "xla":
-        step_math = functools.partial(
-            _step_core,
-            width=cfg.width, height=cfg.height, view=v,
-            max_steps=cfg.max_steps,
-            see_through_walls=cfg.see_through_walls,
-            row_reader=_matmul_rows,
-            hook=hook, remap_action=remap_action, pre_hook=pre_hook,
-            with_obs=True,
-        )
-        obs0_fn = functools.partial(
-            _obs_core,
-            width=cfg.width, height=cfg.height, view=v,
-            see_through_walls=cfg.see_through_walls,
-            row_reader=_matmul_rows,
-        )
-
-        def run_core(words0, regs0, tmpl_words, tmpl_regs, seeds):
-            b = words0.shape[1]
-            vw0, vis0 = obs0_fn(words0, regs0)
-            zeros_f = jnp.zeros((1, b), jnp.float32)
-            zeros_i = jnp.zeros((1, b), jnp.int32)
-
-            def body(carry, seed_t):
-                words, regs, vw, vis, rsum, epi, csum = carry
-                logits = policy_logits(vw, vis, weights, v)
-                a = sample_categorical(
-                    logits, seed_t[None, :], cfg.num_actions
-                )
-                words2, regs2, reward, done, obs_sum, vw2, vis2 = step_math(
-                    words, regs, a, tmpl_words, tmpl_regs
-                )
-                return (
-                    words2, regs2, vw2, vis2,
-                    rsum + reward,
-                    epi + done.astype(jnp.int32),
-                    csum + obs_sum,
-                ), None
-
-            (words_f, regs_f, _, _, rsum, epi, csum), _ = lax.scan(
-                body, (words0, regs0, vw0, vis0, zeros_f, zeros_i, zeros_i),
-                seeds,
-            )
-            return words_f, regs_f, rsum, epi, csum
-
-    else:
-        raise ValueError(f"unknown backend {backend!r}")
+    weights = eval_weights_from_params(params, env.config.agent_view_size)
+    run = _build_policy_core(
+        env, num_steps, backend, False, lane_block, step_chunk, interpret
+    )
 
     def step_carry(key: jax.Array, carry: PackedCarry):
         b = carry.words.shape[1]
-        seeds = seeds_for(key, b)
-        words_f, regs_f, rsum, epi, csum = run_core(
-            carry.words, carry.regs, carry.tmpl_words, carry.tmpl_regs, seeds
+        seeds = _seeds_for(key, num_steps, b)
+        words_f, regs_f, rsum, epi, csum = run(
+            carry.words, carry.regs, carry.tmpl_words, carry.tmpl_regs,
+            seeds, weights,
         )
         rng = carry.rng
         if mode == "regen":
@@ -487,5 +625,70 @@ def build_policy_eval_rollout(
         carry = packed_init(env, states, mode)
         carry, metrics = step_carry(key, carry)
         return packed_finish(env, carry), metrics
+
+    return rollout
+
+
+def build_fused_train_rollout(
+    env: Env,
+    num_steps: int,
+    mode: str = "cached",
+    backend: str = "pallas",
+    lane_block: Optional[int] = None,
+    step_chunk: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Returns `rollout(params, key, carry) -> (carry, traj, metrics)` —
+    the trajectory-COLLECTING policy-in-kernel rollout that feeds
+    `parallel.train.build_fused_train_step`.
+
+    `traj` is `(obs_images (T, B, V, V, 3) u8, actions (T, B) i32, logp
+    (T, B) f32, value (T, B) f32, reward (T, B) f32, done (T, B) bool)` —
+    the exact tuple `parallel.train._trajectory_grads` consumes. Weights
+    convert from `params` per call (cheap transposes), so the same built
+    rollout serves every optimizer step.
+    """
+    if not policy_rollout_supported(env, mode):
+        raise ValueError(
+            f"fused train rollout (mode={mode!r}) does not support "
+            f"{env.env_id!r}"
+        )
+    cfg = env.config
+    v = cfg.agent_view_size
+    run = _build_policy_core(
+        env, num_steps, backend, True, lane_block, step_chunk, interpret
+    )
+
+    def rollout(params, key: jax.Array, carry: PackedCarry):
+        weights = train_weights_from_params(params, v)
+        b = carry.words.shape[1]
+        seeds = _seeds_for(key, num_steps, b)
+        words_f, regs_f, rsum, epi, csum, traj = run(
+            carry.words, carry.regs, carry.tmpl_words, carry.tmpl_regs,
+            seeds, weights,
+        )
+        rng = carry.rng
+        if mode == "regen":
+            rng = _replay_rng_chain(env, rng, epi[0])
+        obs_w, a_t, logp_t, val_t, rew_t, done_t = traj
+        traj_out = (
+            obs_words_to_images(obs_w, v),
+            a_t,
+            logp_t,
+            val_t,
+            rew_t,
+            done_t.astype(bool),
+        )
+        metrics = RolloutMetrics(
+            episodes=jnp.sum(epi),
+            total_reward=jnp.sum(rsum),
+            total_steps=jnp.int32(b * num_steps),
+            obs_checksum=jnp.sum(csum),
+            reset_overlaps=jnp.zeros((), jnp.int32),
+        )
+        carry = PackedCarry(
+            words_f, regs_f, carry.tmpl_words, carry.tmpl_regs, rng
+        )
+        return carry, traj_out, metrics
 
     return rollout

@@ -406,7 +406,7 @@ def build_packed_train_step(
     if as_carry:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from minigrid_tpu.parallel.sharding import ENV_AXIS
+        from minigrid_tpu.parallel.sharding import ENV_AXIS  # noqa: F811
 
         # Packed layouts carry the batch in the LANE (last) axis.
         lane = NamedSharding(mesh, P(None, ENV_AXIS))
@@ -423,4 +423,71 @@ def build_packed_train_step(
         train_step,
         in_shardings=(rep, shard_state, rep),
         out_shardings=(rep, shard_state, rep),
+    )
+
+
+def build_fused_train_step(
+    env: Env,
+    mesh: Mesh,
+    num_steps: int,
+    mode: str = "cached",
+    gamma: float = 0.99,
+    entropy_coef: float = 0.01,
+    value_coef: float = 0.5,
+    time_chunk: int = 4,
+    backend: str = "auto",
+):
+    """The fully fused training fast path: the ACTOR runs inside the
+    Pallas rollout kernel (ops/policy_rollout.py), which spills the
+    trajectory (compact obs words, action, logp, value, reward, done) to
+    HBM; the time-chunked gradient pass and Adam update run in the same
+    jitted program.
+
+    Surface: `train_step(train_state, carry, key) -> (train_state, carry,
+    metrics)` over a steady `ops.fused_rollout.PackedCarry` (build once
+    with `packed_init(env, states, mode)`, unpack with `packed_finish`) —
+    the rollout never re-packs between optimizer steps.
+
+    Differences vs `build_packed_train_step` (documented, tested):
+    actions sample via the kernel's inverse-CDF Threefry recipe (a
+    different — equally categorical — stream than
+    `jax.random.categorical`), and the advantage baseline `value` comes
+    from the in-kernel bf16 forward (agrees with the flax forward to bf16
+    tolerance). Updates are therefore numerically equivalent but not
+    byte-identical to the XLA train steps; the kernel and its XLA twin
+    (`backend="xla"`) ARE byte-identical to each other. Supported on
+    cached mode and static-layout regen (`policy_rollout_supported`).
+    """
+    from minigrid_tpu.ops.fused_rollout import PackedCarry
+    from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = make_model(env)
+    optimizer = make_optimizer()
+    roll = build_fused_train_rollout(env, num_steps, mode=mode, backend=backend)
+
+    def train_step(train_state: TrainState, carry, key: jax.Array):
+        carry, traj, roll_metrics = roll(train_state.params, key, carry)
+        grads, metrics = _trajectory_grads(
+            model, train_state.params, traj, gamma, value_coef, entropy_coef,
+            time_chunk=time_chunk,
+        )
+        updates, opt_state = optimizer.update(
+            grads, train_state.opt_state, train_state.params
+        )
+        params = optax.apply_updates(train_state.params, updates)
+        metrics = dict(metrics, env_steps=roll_metrics.total_steps)
+        return TrainState(params, opt_state), carry, metrics
+
+    rep = replicated(mesh)
+    lane = NamedSharding(mesh, P(None, ENV_AXIS))
+    shard_carry = PackedCarry(
+        words=lane, regs=lane, tmpl_words=lane, tmpl_regs=lane,
+        rng=env_sharding(mesh),
+    )
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, shard_carry, rep),
+        out_shardings=(rep, shard_carry, rep),
     )

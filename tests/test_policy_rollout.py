@@ -170,6 +170,107 @@ class TestPolicyEvalRollout:
             build_policy_eval_rollout(env, {}, 8, mode="regen")
 
 
+class TestFusedTrainRollout:
+    """Trajectory-collecting policy-in-kernel rollout + the fused train
+    step (ops/policy_rollout.build_fused_train_rollout,
+    parallel/train.build_fused_train_step)."""
+
+    def _carry(self, env, b=B, seed=6, mode="cached"):
+        from minigrid_tpu.ops.fused_rollout import packed_init
+
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(seed), b
+        )
+        return states, jax.jit(lambda s: packed_init(env, s, mode))(states)
+
+    @pytest.mark.parametrize(
+        "env_id,mode",
+        [
+            ("MiniGrid-Empty-5x5-v0", "regen"),  # truncation resets
+            ("MiniGrid-LavaGapS5-v0", "cached"),  # terminations
+        ],
+    )
+    def test_kernel_traj_matches_xla_twin(self, env_id, mode):
+        from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
+
+        env = minigrid_tpu.make(env_id)
+        _, params = _model_and_params(env)
+        steps = 48
+        _, carry = self._carry(env, mode=mode)
+        key = jax.random.PRNGKey(7)
+        xla = jax.jit(
+            build_fused_train_rollout(env, steps, mode=mode, backend="xla")
+        )
+        pal = jax.jit(
+            build_fused_train_rollout(
+                env, steps, mode=mode, backend="pallas", interpret=True,
+                step_chunk=16,
+            )
+        )
+        cx, tx, mx = xla(params, key, carry)
+        cp, tp, mp = pal(params, key, carry)
+        assert int(mx.episodes) == int(mp.episodes) > 0
+        assert int(mx.obs_checksum) == int(mp.obs_checksum)
+        for a, b_ in zip(jax.tree.leaves((cx, tx)), jax.tree.leaves((cp, tp))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_traj_contents_match_model_and_obs(self):
+        """Spilled obs images equal the vmap encoder on the initial states;
+        spilled value/logp agree with the flax forward on those obs."""
+        from minigrid_tpu.core.obs import gen_obs_image
+        from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
+
+        env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+        cfg = env.config
+        model, params = _model_and_params(env)
+        states, carry = self._carry(env)
+        rollout = jax.jit(
+            build_fused_train_rollout(env, 8, mode="cached", backend="xla")
+        )
+        _, traj, _ = rollout(params, jax.random.PRNGKey(8), carry)
+        obs, actions, logp, value, reward, done = traj
+        want0 = jax.vmap(lambda s: gen_obs_image(s, cfg))(states)
+        np.testing.assert_array_equal(np.asarray(obs[0]), np.asarray(want0))
+        logits, val = model.apply(params, obs[0])
+        np.testing.assert_allclose(
+            np.asarray(value[0]), np.asarray(val), rtol=0.05, atol=0.05
+        )
+        lp = jax.nn.log_softmax(logits)[
+            jnp.arange(B), np.asarray(actions[0])
+        ]
+        np.testing.assert_allclose(
+            np.asarray(logp[0]), np.asarray(lp), rtol=0.05, atol=0.05
+        )
+        assert actions.dtype == jnp.int32 and done.dtype == bool
+
+    def test_fused_train_step_learns_shape(self):
+        """The fused train step runs end to end: finite loss, params move,
+        carry advances, env_steps metric correct."""
+        from minigrid_tpu.parallel.sharding import make_env_mesh
+        from minigrid_tpu.parallel.train import (
+            build_fused_train_step,
+            init_train_state,
+        )
+
+        env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+        mesh = make_env_mesh()
+        ts = init_train_state(jax.random.PRNGKey(0), env, mesh)
+        _, carry = self._carry(env, mode="regen")
+        step = build_fused_train_step(
+            env, mesh, num_steps=16, mode="regen", backend="xla"
+        )
+        p0 = jax.tree.leaves(ts.params)[0]
+        ts2, carry2, metrics = step(ts, carry, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(metrics["env_steps"]) == B * 16
+        assert not np.array_equal(
+            np.asarray(p0), np.asarray(jax.tree.leaves(ts2.params)[0])
+        )
+        # Steady chaining: a second call consumes the advanced carry.
+        _, _, m2 = step(ts2, carry2, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m2["loss"]))
+
+
 class TestShardedPolicyEval:
     def test_sharded_matches_per_shard_replay(self):
         """8-device mesh: each shard must equal the single-chip policy
