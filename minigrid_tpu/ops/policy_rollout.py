@@ -277,7 +277,7 @@ def _policy_kernel(
         words_out_ref, regs_out_ref, rsum_ref, counts_ref, *rest
     ) = refs
     if collect:
-        (obs_ref, a_ref, logp_ref, value_ref, reward_ref, done_ref,
+        (spill_ref,
          words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s) = rest
     else:
         (words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s) = rest
@@ -308,16 +308,12 @@ def _policy_kernel(
     v2 = view * view
 
     def step(t, _):
-        logits = policy_logits(vw_s[:], vis_s[:], w, view)
+        vw_pre = vw_s[:]
+        vis_pre = vis_s[:]
+        logits = policy_logits(vw_pre, vis_pre, w, view)
         a, logp = sample_categorical_with_logp(
             logits, seeds_ref[pl.ds(t, 1), :], num_actions
         )
-        if collect:
-            # Pre-action trajectory entries (what the policy acted on).
-            obs_ref[pl.ds(t * v2, v2), :] = pack_obs_words(vw_s[:], vis_s[:])
-            a_ref[pl.ds(t, 1), :] = a
-            logp_ref[pl.ds(t, 1), :] = logp
-            value_ref[pl.ds(t, 1), :] = logits[7:8, :]
         words2, regs2, reward, done, obs_sum, vw2, vis2 = _step_core(
             words_s[:], regs_s[:], a, tmpl_words, tmpl_regs,
             width=width, height=height, view=view, max_steps=max_steps,
@@ -326,8 +322,24 @@ def _policy_kernel(
             with_obs=True,
         )
         if collect:
-            reward_ref[pl.ds(t, 1), :] = reward
-            done_ref[pl.ds(t, 1), :] = done.astype(jnp.int32)
+            # One aligned (1, v2p, bt) store per step: the pre-action obs
+            # words plus the scalar rows (action, logp, value, reward,
+            # done bit-packed into the sublane padding) — Mosaic requires
+            # tiled-dim offsets provably 8-aligned, so the per-step slab
+            # is the UNTILED leading axis (see `_SPILL_ROWS`).
+            cast = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+            v2p = spill_ref.shape[1]
+            pad = jnp.zeros((v2p - v2 - 5, a.shape[1]), jnp.int32)
+            spill = jnp.concatenate(
+                [
+                    pack_obs_words(vw_pre, vis_pre),
+                    a, cast(logp), cast(logits[7:8, :]), cast(reward),
+                    done.astype(jnp.int32),
+                    pad,
+                ],
+                axis=0,
+            )
+            spill_ref[pl.ds(t, 1), :, :] = spill[None]
         words_s[:] = words2
         regs_s[:] = regs2
         vw_s[:] = vw2
@@ -345,9 +357,19 @@ def _policy_kernel(
     counts_ref[:] = jnp.concatenate([epi_s[:], csum_s[:]], axis=0)
 
 
-def _auto_lane_block_policy(hw: int, view: int, step_chunk: int) -> int:
+def _spill_rows(v2: int) -> int:
+    """Sublane-padded rows of the per-step trajectory spill slab: the V²
+    obs words + 5 scalar rows (action, logp, value, reward, done), rounded
+    up to a multiple of 8 so the tiled store dims stay aligned."""
+    return ((v2 + 5 + 7) // 8) * 8
+
+
+def _auto_lane_block_policy(
+    hw: int, view: int, step_chunk: int, collect: bool = False
+) -> int:
     """VMEM-budgeted lane block: env state ×4 + obs scratch + the feature /
-    hidden temporaries (bf16 ≈ half-words) + the weight block."""
+    hidden temporaries (bf16 ≈ half-words) + the weight block + (collect)
+    the per-chunk trajectory spill block."""
     v2 = view * view
     weight_bytes = (256 * v2 * _F + 256 * 256 + 8 * 256) * 2 + 4096
     words_per_lane = (
@@ -355,6 +377,7 @@ def _auto_lane_block_policy(hw: int, view: int, step_chunk: int) -> int:
         + 2 * v2  # vw/vis scratch
         + (v2 * _F) // 2 + 256  # feature block + hidden (bf16)
         + 64  # temporaries slack
+        + (step_chunk * _spill_rows(v2) if collect else 0)
     )
     max_lanes = max(0, _VMEM_BUDGET_BYTES - weight_bytes) // (4 * words_per_lane)
     return (max_lanes // 128) * 128
@@ -407,7 +430,7 @@ def _build_policy_core(
     num_chunks = num_steps // tc
 
     if backend == "pallas":
-        auto_bt = _auto_lane_block_policy(hw, v, tc)
+        auto_bt = _auto_lane_block_policy(hw, v, tc, collect)
         bt0 = min(512, auto_bt) if lane_block is None else lane_block
         if bt0 > auto_bt:
             raise ValueError(
@@ -446,19 +469,13 @@ def _build_policy_core(
                 jax.ShapeDtypeStruct((1, b), jnp.float32),
                 jax.ShapeDtypeStruct((2, b), jnp.int32),
             ]
+            v2p = _spill_rows(v2)
             if collect:
                 out_specs += [
-                    tstep_block(tc * v2),
-                    tstep_block(tc), tstep_block(tc),
-                    tstep_block(tc), tstep_block(tc), tstep_block(tc),
+                    pl.BlockSpec((tc, v2p, bt), lambda i, j: (j, 0, i)),
                 ]
                 out_shape += [
-                    jax.ShapeDtypeStruct((num_steps * v2, b), jnp.int32),
-                    jax.ShapeDtypeStruct((num_steps, b), jnp.int32),
-                    jax.ShapeDtypeStruct((num_steps, b), jnp.float32),
-                    jax.ShapeDtypeStruct((num_steps, b), jnp.float32),
-                    jax.ShapeDtypeStruct((num_steps, b), jnp.float32),
-                    jax.ShapeDtypeStruct((num_steps, b), jnp.int32),
+                    jax.ShapeDtypeStruct((num_steps, v2p, b), jnp.int32),
                 ]
             out = pl.pallas_call(
                 kernel,
@@ -492,8 +509,16 @@ def _build_policy_core(
             words_f, regs_f, rsum, counts, *traj = out
             base = (words_f, regs_f, rsum, counts[0:1], counts[1:2])
             if collect:
-                obs_w = traj[0].reshape(num_steps, v2, -1)
-                return base + ((obs_w,) + tuple(traj[1:]),)
+                spill = traj[0]  # (T, v2p, B) int32
+                fbits = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+                return base + ((
+                    spill[:, :v2, :],
+                    spill[:, v2, :],
+                    fbits(spill[:, v2 + 1, :]),
+                    fbits(spill[:, v2 + 2, :]),
+                    fbits(spill[:, v2 + 3, :]),
+                    spill[:, v2 + 4, :],
+                ),)
             return base
 
         return run
@@ -635,7 +660,7 @@ def build_fused_train_rollout(
     mode: str = "cached",
     backend: str = "pallas",
     lane_block: Optional[int] = None,
-    step_chunk: int = 128,
+    step_chunk: int = 16,
     interpret: Optional[bool] = None,
 ):
     """Returns `rollout(params, key, carry) -> (carry, traj, metrics)` —
