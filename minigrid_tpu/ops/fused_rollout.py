@@ -1193,7 +1193,7 @@ def _masked_template_refresh(
 
 def _build_chunked_regen(
     env: Env, num_steps: int, tc: int, chunk_fn, refresh_block=None,
-    actions_override=None,
+    actions_override=None, stream_fn=None,
 ):
     """Reference-faithful regen auto-reset for RANDOM-layout families on the
     packed engines — UNCONDITIONALLY byte-exact vs the vmap regen path.
@@ -1229,6 +1229,13 @@ def _build_chunked_regen(
     `(words', regs', ctl, rsum, episodes, csum)` with the accumulators as
     `(1, B)` per-lane totals of COMMITTED steps.
 
+    `stream_fn(key, b) -> (T, B) int32` replaces the random-action stream
+    — the policy-in-kernel rollouts route their per-(step, lane) sampling
+    SEEDS through it (a lane's i-th committed step must consume row i
+    whether actions are pre-sampled or derived in-kernel, so the same
+    per-lane pre-shift applies; a replayed step re-derives the identical
+    action because the state and seed are identical).
+
     Returns the CARRY-form step (`step_carry(key, carry)`); wrap with
     `_wrap_legacy` for the `rollout(key, states)` surface.
     """
@@ -1240,7 +1247,10 @@ def _build_chunked_regen(
         words0, regs0 = carry.words, carry.regs
         b = words0.shape[1]
         block = refresh_block or _refresh_block_size(b)
-        actions = _action_stream_b(env, num_steps, key, b, actions_override)
+        if stream_fn is not None:
+            actions = stream_fn(key, b)
+        else:
+            actions = _action_stream_b(env, num_steps, key, b, actions_override)
         actions = actions.reshape(n_chunks, tc, b)
         assert carry.tmpl_words is not None, (
             "chunked-regen carry has no templates — build it with "

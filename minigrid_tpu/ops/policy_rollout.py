@@ -37,11 +37,13 @@ Two surfaces:
     gradient pass (`parallel.train._trajectory_grads`) then consumes it.
     The critic rides as the 8th row of the padded head matrix.
 
-Scope: cached auto-reset and static-layout regen (the plain carry paths).
-Chunked-regen policy evaluation falls back to the XLA loops of
-`parallel/train.py` (the freeze/re-entry protocol composes with online
-actions — they are pure functions of the replayed state — but the fused
-variant is not built).
+Scope: evaluation covers both auto-reset modes — random-layout regen runs
+`_build_chunked_regen`'s exact chunked refresh, with the freeze/re-entry
+commit protocol composing cleanly with online actions (a replayed step
+re-derives the identical action from the identical state and seed; the
+per-lane pre-shift applies to the SEED rows). The trajectory-collecting
+train rollout supports cached and static-layout regen (a resumed lane's
+commit cursor would not match the spill slab's loop index).
 
 Equivalence to the flax model: `policy_logits` mirrors
 `models.policy.ActorCritic.__call__` op for op (bf16 torso matmuls with
@@ -263,24 +265,32 @@ def _policy_kernel(
     see_through_walls: bool,
     num_actions: int,
     collect: bool = False,
+    chunk_exact: bool = False,
     hook=None,
     remap_action=None,
     pre_hook=None,
 ):
     """Ref order: inputs (words0, regs0, tmpl_words, tmpl_regs, seeds,
-    wt1, b1, wt2, b2, wta, ba), outputs (words, regs, rsum, counts
-    [, obs_words, actions, logp, value, reward, done]), scratch (words,
-    regs, vw, vis, rsum, epi, csum)."""
+    wt1, b1, wt2, b2, wta, ba[, ctl0]), outputs (words, regs, rsum,
+    counts[, spill][, ctl]), scratch (words, regs, vw, vis, rsum, epi,
+    csum[, ctl]). `chunk_exact` runs `_step_core`'s chunked-regen commit
+    protocol (eval only — the trajectory spill's slab index is the loop
+    step, which a resumed lane's commit cursor would not match)."""
+    assert not (collect and chunk_exact)
+    n_in = 11 + (1 if chunk_exact else 0)
     (
         words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref, seeds_ref,
         wt1_ref, b1_ref, wt2_ref, b2_ref, wta_ref, ba_ref,
-        words_out_ref, regs_out_ref, rsum_ref, counts_ref, *rest
-    ) = refs
-    if collect:
-        (spill_ref,
-         words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s) = rest
-    else:
-        (words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s) = rest
+    ) = refs[:11]
+    ctl0_ref = refs[11] if chunk_exact else None
+    n_out = 4 + (1 if collect else 0) + (1 if chunk_exact else 0)
+    outs = refs[n_in : n_in + n_out]
+    words_out_ref, regs_out_ref, rsum_ref, counts_ref = outs[:4]
+    spill_ref = outs[4] if collect else None
+    ctl_out_ref = outs[4] if chunk_exact else None
+    scratch = refs[n_in + n_out :]
+    words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s = scratch[:7]
+    ctl_s = scratch[7] if chunk_exact else None
 
     obs = functools.partial(
         _obs_core,
@@ -298,6 +308,8 @@ def _policy_kernel(
         rsum_s[:] = jnp.zeros_like(rsum_s)
         epi_s[:] = jnp.zeros_like(epi_s)
         csum_s[:] = jnp.zeros_like(csum_s)
+        if chunk_exact:
+            ctl_s[:] = ctl0_ref[:]
 
     w = EvalWeights(
         wt1=wt1_ref[:], b1=b1_ref[:], wt2=wt2_ref[:], b2=b2_ref[:],
@@ -314,13 +326,20 @@ def _policy_kernel(
         a, logp = sample_categorical_with_logp(
             logits, seeds_ref[pl.ds(t, 1), :], num_actions
         )
-        words2, regs2, reward, done, obs_sum, vw2, vis2 = _step_core(
+        out = _step_core(
             words_s[:], regs_s[:], a, tmpl_words, tmpl_regs,
             width=width, height=height, view=view, max_steps=max_steps,
             see_through_walls=see_through_walls, row_reader=_sliced_rows,
             hook=hook, remap_action=remap_action, pre_hook=pre_hook,
             with_obs=True,
+            chunk_ctl=ctl_s[:] if chunk_exact else None,
+            chunk_len=step_chunk if chunk_exact else None,
         )
+        if chunk_exact:
+            words2, regs2, reward, done, obs_sum, ctl2, vw2, vis2 = out
+            ctl_s[:] = ctl2
+        else:
+            words2, regs2, reward, done, obs_sum, vw2, vis2 = out
         if collect:
             # One aligned (1, v2p, bt) store per step: the pre-action obs
             # words plus the scalar rows (action, logp, value, reward,
@@ -355,6 +374,8 @@ def _policy_kernel(
     regs_out_ref[:] = regs_s[:]
     rsum_ref[:] = rsum_s[:]
     counts_ref[:] = jnp.concatenate([epi_s[:], csum_s[:]], axis=0)
+    if chunk_exact:
+        ctl_out_ref[:] = ctl_s[:]
 
 
 def _spill_rows(v2: int) -> int:
@@ -383,19 +404,25 @@ def _auto_lane_block_policy(
     return (max_lanes // 128) * 128
 
 
-def policy_rollout_supported(env: Env, mode: str = "cached") -> bool:
-    """True iff the fused policy rollouts support `env` under `mode`
-    (cached, or regen on deterministic-layout families)."""
+def policy_rollout_supported(
+    env: Env, mode: str = "cached", collect: bool = False
+) -> bool:
+    """True iff the fused policy rollouts support `env` under `mode`.
+
+    Evaluation (`collect=False`) supports every hooked family in both
+    modes — random-layout regen runs the exact chunked refresh with the
+    freeze/re-entry commit protocol (online actions replay identically:
+    they are pure functions of the replayed state and seed). The
+    trajectory-collecting TRAIN rollout additionally requires cached or
+    static-layout regen (a resumed lane's commit cursor would not match
+    the spill slab's loop index)."""
     from minigrid_tpu.ops.fused_rollout import _has_packed_step
 
     if not _has_packed_step(env):
         return False
-    if mode == "cached":
-        pass
-    elif mode == "regen":
-        if not _regen_is_static(env):
-            return False  # chunked-regen policy rollouts: XLA loops for now
-    else:
+    if mode not in ("cached", "regen"):
+        return False
+    if collect and mode == "regen" and not _regen_is_static(env):
         return False
     cfg = env.config
     return (
@@ -414,11 +441,13 @@ def _build_policy_core(
     lane_block: Optional[int],
     step_chunk: int,
     interpret: Optional[bool],
+    chunk_exact: bool = False,
 ):
-    """Returns `run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights)
-    -> (words_f, regs_f, rsum, epi, csum[, traj])` where `traj` (collect
-    only) is `(obs_words (T, V², B), actions (T, B), logp, value, reward
-    (T, B) f32, done (T, B) i32)`."""
+    """Returns `run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights
+    [, ctl0]) -> (words_f, regs_f, rsum, epi, csum[, traj][, ctl])` where
+    `traj` (collect only) is `(obs_words (T, V², B), actions (T, B), logp,
+    value, reward (T, B) f32, done (T, B) i32)` and `ctl` (chunk_exact
+    only) is the commit-protocol state for `_build_chunked_regen`."""
     cfg = env.config
     v = cfg.agent_view_size
     v2 = v * v
@@ -442,10 +471,12 @@ def _build_policy_core(
             max_steps=cfg.max_steps, step_chunk=tc,
             see_through_walls=cfg.see_through_walls,
             num_actions=cfg.num_actions, collect=collect,
+            chunk_exact=chunk_exact,
             hook=hook, remap_action=remap_action, pre_hook=pre_hook,
         )
 
-        def run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights):
+        def run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights,
+                ctl0=None):
             b = words0.shape[1]
             bt = min(bt0, b)
             if b % bt:
@@ -457,6 +488,18 @@ def _build_policy_core(
                 (rows, bt), lambda i, j: (j, i)
             )
             rep = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0))
+            in_specs = [
+                state_block(hw),
+                state_block(NUM_REGS),
+                state_block(hw),
+                state_block(NUM_REGS),
+                tstep_block(tc),
+                rep(weights.wt1), rep(weights.b1),
+                rep(weights.wt2), rep(weights.b2),
+                rep(weights.wta), rep(weights.ba),
+            ]
+            operands = [words0, regs0, tmpl_words, tmpl_regs, seeds,
+                        *weights]
             out_specs = [
                 state_block(hw),
                 state_block(NUM_REGS),
@@ -477,41 +520,40 @@ def _build_policy_core(
                 out_shape += [
                     jax.ShapeDtypeStruct((num_steps, v2p, b), jnp.int32),
                 ]
+            if chunk_exact:
+                in_specs.append(state_block(3))
+                operands.append(ctl0)
+                out_specs.append(state_block(3))
+                out_shape.append(jax.ShapeDtypeStruct((3, b), jnp.int32))
+            scratch_shapes = [
+                pltpu.VMEM((hw, bt), jnp.int32),
+                pltpu.VMEM((NUM_REGS, bt), jnp.int32),
+                pltpu.VMEM((v2, bt), jnp.int32),
+                pltpu.VMEM((v2, bt), jnp.int32),
+                pltpu.VMEM((1, bt), jnp.float32),
+                pltpu.VMEM((1, bt), jnp.int32),
+                pltpu.VMEM((1, bt), jnp.int32),
+            ]
+            if chunk_exact:
+                scratch_shapes.append(pltpu.VMEM((3, bt), jnp.int32))
             out = pl.pallas_call(
                 kernel,
                 grid=(b // bt, num_chunks),
-                in_specs=[
-                    state_block(hw),
-                    state_block(NUM_REGS),
-                    state_block(hw),
-                    state_block(NUM_REGS),
-                    tstep_block(tc),
-                    rep(weights.wt1), rep(weights.b1),
-                    rep(weights.wt2), rep(weights.b2),
-                    rep(weights.wta), rep(weights.ba),
-                ],
+                in_specs=in_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,
-                scratch_shapes=[
-                    pltpu.VMEM((hw, bt), jnp.int32),
-                    pltpu.VMEM((NUM_REGS, bt), jnp.int32),
-                    pltpu.VMEM((v2, bt), jnp.int32),
-                    pltpu.VMEM((v2, bt), jnp.int32),
-                    pltpu.VMEM((1, bt), jnp.float32),
-                    pltpu.VMEM((1, bt), jnp.int32),
-                    pltpu.VMEM((1, bt), jnp.int32),
-                ],
+                scratch_shapes=scratch_shapes,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary"),
                 ),
                 interpret=interpret,
-            )(words0, regs0, tmpl_words, tmpl_regs, seeds, *weights)
-            words_f, regs_f, rsum, counts, *traj = out
+            )(*operands)
+            words_f, regs_f, rsum, counts, *rest = out
             base = (words_f, regs_f, rsum, counts[0:1], counts[1:2])
             if collect:
-                spill = traj[0]  # (T, v2p, B) int32
+                spill = rest[0]  # (T, v2p, B) int32
                 fbits = lambda x: lax.bitcast_convert_type(x, jnp.float32)
-                return base + ((
+                base = base + ((
                     spill[:, :v2, :],
                     spill[:, v2, :],
                     fbits(spill[:, v2 + 1, :]),
@@ -519,6 +561,8 @@ def _build_policy_core(
                     fbits(spill[:, v2 + 3, :]),
                     spill[:, v2 + 4, :],
                 ),)
+            if chunk_exact:
+                base = base + (rest[-1],)
             return base
 
         return run
@@ -542,21 +586,27 @@ def _build_policy_core(
         row_reader=_matmul_rows,
     )
 
-    def run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights):
+    def run(words0, regs0, tmpl_words, tmpl_regs, seeds, weights, ctl0=None):
         b = words0.shape[1]
         vw0, vis0 = obs0_fn(words0, regs0)
         zeros_f = jnp.zeros((1, b), jnp.float32)
         zeros_i = jnp.zeros((1, b), jnp.int32)
+        chunk_len = seeds.shape[0] if chunk_exact else None
 
         def body(carry, seed_t):
-            words, regs, vw, vis, rsum, epi, csum = carry
+            words, regs, vw, vis, ctl, rsum, epi, csum = carry
             logits = policy_logits(vw, vis, weights, v)
             a, logp = sample_categorical_with_logp(
                 logits, seed_t[None, :], cfg.num_actions
             )
-            words2, regs2, reward, done, obs_sum, vw2, vis2 = step_math(
-                words, regs, a, tmpl_words, tmpl_regs
+            out = step_math(
+                words, regs, a, tmpl_words, tmpl_regs,
+                chunk_ctl=ctl, chunk_len=chunk_len,
             )
+            if chunk_exact:
+                words2, regs2, reward, done, obs_sum, ctl, vw2, vis2 = out
+            else:
+                words2, regs2, reward, done, obs_sum, vw2, vis2 = out
             ys = None
             if collect:
                 ys = (
@@ -565,20 +615,23 @@ def _build_policy_core(
                     done[0].astype(jnp.int32),
                 )
             return (
-                words2, regs2, vw2, vis2,
+                words2, regs2, vw2, vis2, ctl,
                 rsum + reward,
                 epi + done.astype(jnp.int32),
                 csum + obs_sum,
             ), ys
 
-        (words_f, regs_f, _, _, rsum, epi, csum), ys = lax.scan(
-            body, (words0, regs0, vw0, vis0, zeros_f, zeros_i, zeros_i),
+        (words_f, regs_f, _, _, ctl, rsum, epi, csum), ys = lax.scan(
+            body,
+            (words0, regs0, vw0, vis0, ctl0, zeros_f, zeros_i, zeros_i),
             seeds,
         )
         base = (words_f, regs_f, rsum, epi, csum)
         if collect:
             obs_w, a_t, logp_t, val_t, rew_t, done_t = ys
-            return base + ((obs_w, a_t, logp_t, val_t, rew_t, done_t),)
+            base = base + ((obs_w, a_t, logp_t, val_t, rew_t, done_t),)
+        if chunk_exact:
+            base = base + (ctl,)
         return base
 
     return run
@@ -597,6 +650,7 @@ def build_policy_eval_rollout(
     backend: str = "pallas",
     lane_block: Optional[int] = None,
     step_chunk: int = 128,
+    regen_chunk: int = 32,
     interpret: Optional[bool] = None,
     as_carry: bool = False,
 ):
@@ -609,13 +663,48 @@ def build_policy_eval_rollout(
     `eval_weights_from_params`). The key only seeds the per-(step, lane)
     sampling stream; backends "pallas" and "xla" consume identical seeds
     and share the policy/sampling math, so they are step-for-step
-    equivalent (tests/test_policy_rollout.py).
+    equivalent (tests/test_policy_rollout.py). Random-layout regen runs
+    the exact chunked template refresh of `_build_chunked_regen` (fresh
+    layout per reset; repeat resets deferred and replayed — identical
+    actions re-derive from the identical state and seed).
     """
     if not policy_rollout_supported(env, mode):
         raise ValueError(
             f"policy rollout (mode={mode!r}) does not support {env.env_id!r}"
         )
     weights = eval_weights_from_params(params, env.config.agent_view_size)
+
+    if mode == "regen" and not _regen_is_static(env):
+        from minigrid_tpu.ops.fused_rollout import _build_chunked_regen
+
+        tc = _fit_chunk(num_steps, regen_chunk)
+        core = _build_policy_core(
+            env, tc, backend, False, lane_block, tc, interpret,
+            chunk_exact=True,
+        )
+
+        def chunk_fn(words, regs, tmpl_words, tmpl_regs, seeds_chunk, ctl0):
+            words_f, regs_f, rsum, epi, csum, ctl = core(
+                words, regs, tmpl_words, tmpl_regs, seeds_chunk, weights,
+                ctl0,
+            )
+            return words_f, regs_f, ctl, rsum, epi, csum
+
+        step_carry = _build_chunked_regen(
+            env, num_steps, tc, chunk_fn,
+            stream_fn=lambda key, b: _seeds_for(key, num_steps, b),
+        )
+
+        if as_carry:
+            return step_carry
+
+        def rollout(key: jax.Array, states: EnvState):
+            carry = packed_init(env, states, mode)
+            carry, metrics = step_carry(key, carry)
+            return packed_finish(env, carry), metrics
+
+        return rollout
+
     run = _build_policy_core(
         env, num_steps, backend, False, lane_block, step_chunk, interpret
     )
@@ -673,7 +762,7 @@ def build_fused_train_rollout(
     convert from `params` per call (cheap transposes), so the same built
     rollout serves every optimizer step.
     """
-    if not policy_rollout_supported(env, mode):
+    if not policy_rollout_supported(env, mode, collect=True):
         raise ValueError(
             f"fused train rollout (mode={mode!r}) does not support "
             f"{env.env_id!r}"

@@ -163,11 +163,51 @@ class TestPolicyEvalRollout:
         _, m = rollout(jax.random.PRNGKey(5), states)
         assert int(m.episodes) >= B  # max_steps=100 forces truncations
 
-    def test_unsupported_chunked_regen(self):
+    @pytest.mark.parametrize("env_id", [
+        "MiniGrid-DoorKey-5x5-v0",
+        "MiniGrid-LavaGapS5-v0",  # fast deaths: deferred resets fire
+    ])
+    def test_chunked_regen_backends_agree(self, env_id):
+        """Random-layout regen policy eval: fresh layout per reset via the
+        exact chunked refresh; kernel and XLA twin byte-identical even
+        when the freeze/re-entry protocol defers resets."""
+        env = minigrid_tpu.make(env_id)
+        assert policy_rollout_supported(env, "regen")
+        _, params = _model_and_params(env)
+        key = jax.random.PRNGKey(13)
+        key, k_reset = jax.random.split(key)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(k_reset, B)
+        xla = jax.jit(
+            build_policy_eval_rollout(
+                env, params, 48, mode="regen", backend="xla", regen_chunk=8
+            )
+        )
+        pal = jax.jit(
+            build_policy_eval_rollout(
+                env, params, 48, mode="regen", backend="pallas",
+                interpret=True, regen_chunk=8,
+            )
+        )
+        sx, mx = xla(key, states)
+        sp, mp = pal(key, states)
+        assert int(mx.episodes) == int(mp.episodes)
+        assert int(mx.obs_checksum) == int(mp.obs_checksum)
+        assert int(mx.reset_overlaps) == int(mp.reset_overlaps)
+        for la, lb in zip(jax.tree.leaves(sx), jax.tree.leaves(sp)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        if env_id == "MiniGrid-LavaGapS5-v0":
+            # Lava sits steps from spawn: episodes end fast and some lanes
+            # defer resets — the protocol is genuinely exercised.
+            assert int(mx.episodes) > 0
+            assert int(mx.reset_overlaps) > 0
+
+    def test_collect_rejects_chunked_regen(self):
+        from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
+
         env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
-        assert not policy_rollout_supported(env, "regen")
+        assert not policy_rollout_supported(env, "regen", collect=True)
         with pytest.raises(ValueError):
-            build_policy_eval_rollout(env, {}, 8, mode="regen")
+            build_fused_train_rollout(env, 8, mode="regen")
 
 
 class TestFusedTrainRollout:
