@@ -12,3 +12,8 @@ from minigrid_tpu.ops.fused_rollout import (  # noqa: F401
     build_packed_xla_rollout,
     fused_rollout_supported,
 )
+from minigrid_tpu.ops.policy_rollout import (  # noqa: F401
+    build_fused_train_rollout,
+    build_policy_eval_rollout,
+    policy_rollout_supported,
+)

@@ -13,7 +13,7 @@ whole batch stays in one jitted program shardable over the mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

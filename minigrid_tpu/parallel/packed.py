@@ -20,7 +20,7 @@ folded key through the single-chip builder.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax
@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from minigrid_tpu.core.rollout import RolloutMetrics, build_rollout
-from minigrid_tpu.core.state import EnvState
+
 from minigrid_tpu.envs.base import Env
 from minigrid_tpu.ops.fused_rollout import (
     PackedCarry,

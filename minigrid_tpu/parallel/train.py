@@ -10,7 +10,7 @@ GSPMD equivalent of the NCCL all-reduce the reference never had.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -115,6 +115,11 @@ class TestPolicyEvalRollout:
         ("MiniGrid-Empty-5x5-v0", "regen", 128),  # truncation resets
         ("MiniGrid-DoorKey-5x5-v0", "cached", 48),
         ("MiniGrid-LavaGapS5-v0", "cached", 48),  # terminations
+        ("MiniGrid-Fetch-5x5-N2-v0", "cached", 48),  # post-hook family
+        # Pre-hook stochastic walk + Discrete(3) action space: exercises
+        # the in-kernel Threefry obstacle stream AND the 8-row head
+        # padding with num_actions=3.
+        ("MiniGrid-Dynamic-Obstacles-5x5-v0", "cached", 48),
     ]
 
     @pytest.mark.parametrize("env_id,mode,steps", CASES)
