@@ -40,9 +40,19 @@ WALL_CELL = (C.WALL, C.GREY, 0, 0, 0)
 
 
 def set_cell(grid: jnp.ndarray, x, y, cell) -> jnp.ndarray:
-    """Write one cell; `cell` is a (5,) vector or tuple. (`Grid.set`, minigrid.py:~412)."""
+    """Write one cell; `cell` is a (5,) vector or tuple. (`Grid.set`, minigrid.py:~412).
+
+    Implemented as a masked `where` rather than `grid.at[y, x].set`: under
+    `vmap` the scatter at per-lane dynamic indices costs ~1.4 µs/lane on a
+    25×25 grid (TPU batched scatters serialize) while the broadcast-compare
+    write costs ~0.1 µs — generator door/goal placement was scatter-bound
+    (BASELINE.md batched-generation profile, round 4)."""
     cell = jnp.asarray(cell, dtype=jnp.uint8)
-    return grid.at[y, x, :].set(cell)
+    h, w = grid.shape[:2]
+    mask = (jnp.arange(h)[:, None] == jnp.asarray(y)) & (
+        jnp.arange(w)[None, :] == jnp.asarray(x)
+    )
+    return jnp.where(mask[:, :, None], cell, grid)
 
 
 def get_cell(grid: jnp.ndarray, x, y) -> jnp.ndarray:

@@ -220,8 +220,10 @@ def generate(key: jax.Array, config: EnvConfig) -> EnvState:
              jnp.uint8(0), jnp.uint8(0)]
         )
         ex, ey = chain.entry[i, 0], chain.entry[i, 1]
-        old = grid[ey, ex]
-        grid = G.set_cell(grid, ex, ey, jnp.where(act, cell, old))
+        # Masked write instead of gather-then-scatter: `act` folds into one
+        # (H, W, 5) where (the per-lane dynamic gather of the old cell cost
+        # more than the whole wall paint under vmap).
+        grid = jnp.where(act, G.set_cell(grid, ex, ey, cell), grid)
         prev_sorted = jnp.where(act, pick, prev_sorted)
 
     # Agent in room 0; goal in the last room.

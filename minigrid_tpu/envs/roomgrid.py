@@ -384,8 +384,10 @@ def connect_all(
                     [jnp.uint8(C.DOOR), colors_f[j, i, k],
                      jnp.uint8(C.STATE_CLOSED), jnp.uint8(0), jnp.uint8(0)]
                 )
-                old = grid[pos[1], pos[0]]
-                grid = G.set_cell(
-                    grid, pos[0], pos[1], jnp.where(new, cell, old)
+                # Masked write, no gather of the old cell (vmapped dynamic
+                # gathers cost more than a full-grid where — core/grid.py
+                # set_cell note).
+                grid = jnp.where(
+                    new, G.set_cell(grid, pos[0], pos[1], cell), grid
                 )
     return rg._replace(grid=grid, has_door=has_door_f)
