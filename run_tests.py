@@ -4,7 +4,9 @@ determinism, render, invariants, and wrapper construction — all via bare
 asserts, runnable as `python run_tests.py`.
 
 (The pytest suite under `tests/` is the richer test surface; this script
-exists for workflow parity with the reference.)
+exists for workflow parity with the reference. It runs on whatever
+backend JAX picks — set `JAX_PLATFORMS=cpu` for a quick host-only sweep;
+on the tunneled TPU the per-env compiles dominate wall-clock.)
 """
 
 from __future__ import annotations
