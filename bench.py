@@ -50,6 +50,69 @@ from minigrid_tpu.ops.fused_rollout import (
 
 REFERENCE_STEPS_PER_SEC = 3_000.0  # pure-Python MiniGrid, 1 CPU core (external)
 
+_MOSAIC_OK: bool | None = None
+
+
+def mosaic_available() -> bool:
+    """True iff a trivial Pallas TPU kernel actually compiles on the
+    default backend.
+
+    Round-4 lesson (VERDICT.md): selecting the engine by string-comparing
+    `jax.default_backend() == "tpu"` silently routed the driver's capture
+    onto the packed XLA twin (~208M steps/s) instead of the Pallas kernel
+    (~500M) — a 2.5x scoreboard under-report with no trace in the
+    artifact.  Probe the real capability instead of the platform name,
+    and shout when the kernel path is unavailable.
+    """
+    global _MOSAIC_OK
+    if _MOSAIC_OK is not None:
+        return _MOSAIC_OK
+    try:
+        # (b) a TPU must actually be attached.  The compile probe alone is
+        # not sufficient: current XLA:CPU compiles Mosaic kernels through
+        # the interpreter, which "works" orders of magnitude slower.
+        devs = jax.devices()
+        has_tpu = any(
+            d.platform == "tpu" or "tpu" in d.device_kind.lower()
+            for d in devs
+        )
+        if not has_tpu:
+            print(
+                "# WARNING: no TPU device attached (backend "
+                f"{jax.default_backend()!r}, devices "
+                f"{[d.device_kind for d in devs]!r}); using the packed XLA "
+                "engine."
+            )
+            _MOSAIC_OK = False
+            return False
+
+        # (a) a trivial kernel must lower to a Mosaic tpu_custom_call and
+        # compile on this backend.
+        from jax.experimental import pallas as pl
+
+        def _probe_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + 1
+
+        f = pl.pallas_call(
+            _probe_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        )
+        x = jnp.zeros((8, 128), jnp.int32)
+        lowered = jax.jit(f).lower(x)
+        if "tpu_custom_call" not in lowered.as_text():
+            raise RuntimeError("probe kernel did not lower via Mosaic")
+        lowered.compile()
+        _MOSAIC_OK = True
+    except Exception as e:  # noqa: BLE001 — any failure means "no kernel path"
+        print(
+            "# WARNING: Pallas/Mosaic probe FAILED on backend "
+            f"{jax.default_backend()!r} ({type(e).__name__}: {e}); falling "
+            "back to the packed XLA engine (~2.5x slower than the kernel "
+            "path on TPU)."
+        )
+        _MOSAIC_OK = False
+    return _MOSAIC_OK
+
 
 def pick_path(env, requested: str, mode: str) -> str:
     if requested != "auto":
@@ -57,8 +120,24 @@ def pick_path(env, requested: str, mode: str) -> str:
     if not fused_rollout_supported(env, mode=mode):
         return "vmap"
     # The Pallas kernel (state resident in VMEM across steps) wins on real
-    # TPU hardware; the packed XLA twin is the portable fast path.
-    return "pallas" if jax.default_backend() == "tpu" else "packed"
+    # TPU hardware; the packed XLA twin is the portable fast path.  Decide
+    # by probing Mosaic, not by matching the backend name (see above).
+    return "pallas" if mosaic_available() else "packed"
+
+
+# Provenance for the driver artifact: which engine/backend/surface the
+# number actually measured, plus raw per-iteration seconds.  Filled by the
+# run_* functions, merged into the printed JSON line by main().
+PROV: dict = {}
+
+
+def _prov(path: str, **extra) -> None:
+    PROV.update(
+        path=path,
+        backend=jax.default_backend(),
+        device=jax.devices()[0].device_kind,
+        **extra,
+    )
 
 
 def build(
@@ -99,6 +178,7 @@ def run(
     path = pick_path(env, path, mode)
     if carry and path == "vmap":
         carry = False  # vmap has no packed carry; measure the plain surface
+    _prov(path, surface="carry" if carry else "rollout")
 
     key = jax.random.PRNGKey(0)
     key, k_reset = jax.random.split(key)
@@ -136,6 +216,7 @@ def run(
             c, metrics = step(key, c)
             fence_c(c, metrics)
             dt = time.perf_counter() - t0
+            PROV.setdefault("iter_secs", []).append(round(dt, 4))
             best = max(best, batch_size * num_steps / dt)
         return best
 
@@ -156,6 +237,7 @@ def run(
         states, metrics = rollout(key, states)
         fence(states, metrics)
         dt = time.perf_counter() - t0
+        PROV.setdefault("iter_secs", []).append(round(dt, 4))
         best = max(best, batch_size * num_steps / dt)
     return best
 
@@ -179,11 +261,21 @@ def run_train(
     env = minigrid_tpu.make(env_id)
     mesh = make_env_mesh()
     if path == "auto":
-        path = "packed" if fused_rollout_supported(env, mode=mode) else "vmap"
-    if path == "pallas" and not policy_rollout_supported(env, mode):
+        if not fused_rollout_supported(env, mode=mode):
+            path = "vmap"
+        elif mosaic_available() and policy_rollout_supported(
+            env, mode, collect=True
+        ):
+            path = "pallas"
+        else:
+            path = "packed"
+    if path == "pallas" and not policy_rollout_supported(
+        env, mode, collect=True
+    ):
         print("# --train --path pallas: fused train rollout unsupported for "
               f"{env_id} mode={mode}; using the packed XLA train step")
         path = "packed"
+    _prov(path, surface="train")
 
     key = jax.random.PRNGKey(0)
     key, k_env, k_model = jax.random.split(key, 3)
@@ -210,6 +302,7 @@ def run_train(
             ts, carry, metrics = step(ts, carry, key)
             float(metrics["loss"])
             dt = time.perf_counter() - t0
+            PROV.setdefault("iter_secs", []).append(round(dt, 4))
             best = max(best, batch_size * num_steps / dt)
         return best
 
@@ -232,6 +325,7 @@ def run_train(
         ts, states, metrics = step(ts, states, key)
         float(metrics["loss"])
         dt = time.perf_counter() - t0
+        PROV.setdefault("iter_secs", []).append(round(dt, 4))
         best = max(best, batch_size * num_steps / dt)
     return best
 
@@ -250,9 +344,10 @@ def run_policy_eval(
     env = minigrid_tpu.make(env_id)
     mesh = make_env_mesh()
     if path in ("auto", "vmap"):
-        path = "pallas" if jax.default_backend() == "tpu" else "xla"
+        path = "pallas" if mosaic_available() else "xla"
     if path == "packed":
         path = "xla"
+    _prov(path, surface="policy_eval")
     key = jax.random.PRNGKey(0)
     key, k_env, k_model = jax.random.split(key, 3)
     params = init_train_state(k_model, env, mesh).params
@@ -276,6 +371,7 @@ def run_policy_eval(
         c, metrics = step(key, c)
         fence(c, metrics)
         dt = time.perf_counter() - t0
+        PROV.setdefault("iter_secs", []).append(round(dt, 4))
         best = max(best, batch_size * num_steps / dt)
     return best
 
@@ -318,7 +414,7 @@ def run_mixed(
             )
             for i, e in enumerate(ids)
         )
-        backend = "pallas" if jax.default_backend() == "tpu" else "packed"
+        backend = "pallas" if mosaic_available() else "packed"
         rollout = build_packed_mixed_rollout(
             ids, num_steps, mesh=mesh, mode=mode, backend=backend,
             as_carry=carry,
@@ -340,6 +436,11 @@ def run_mixed(
             )
         batch_size = per * len(ids)
 
+    _prov(
+        path if path == "vmap" else backend,
+        surface="mixed_carry" if (carry and path != "vmap") else "mixed",
+    )
+
     def fence(metrics):
         return float(metrics.total_reward) + int(metrics.total_steps)
 
@@ -352,8 +453,26 @@ def run_mixed(
         states, metrics = rollout(key, states)
         fence(metrics)
         dt = time.perf_counter() - t0
+        PROV.setdefault("iter_secs", []).append(round(dt, 4))
         best = max(best, batch_size * num_steps / dt)
     return best
+
+
+def emit(metric: str, value: float, mode: str) -> None:
+    """Print the one-line JSON record, including full provenance: which
+    engine (`path`), backend platform, device kind, measured surface, and
+    the raw per-iteration seconds — so a scoreboard anomaly like round 4's
+    (packed twin silently measured instead of the kernel) is diagnosable
+    from the artifact alone."""
+    rec = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(value / REFERENCE_STEPS_PER_SEC, 2),
+        "mode": mode,
+        **PROV,
+    }
+    print(json.dumps(rec))
 
 
 def main():
@@ -431,18 +550,11 @@ def main():
             args.path, args.mode, carry=args.carry and args.path != "vmap",
         )
         mtag = "steady_" if args.carry and args.path != "vmap" else ""
-        print(
-            json.dumps(
-                {
-                    "metric": f"{mtag}mixed_env_steps_per_sec[{args.mixed} "
-                    f"B={args.batch_size}]",
-                    "value": round(steps_per_sec, 1),
-                    "unit": "steps/s",
-                    "vs_baseline": round(
-                        steps_per_sec / REFERENCE_STEPS_PER_SEC, 2
-                    ),
-                }
-            )
+        emit(
+            f"{mtag}mixed_env_steps_per_sec[{args.mixed} "
+            f"B={args.batch_size}]",
+            steps_per_sec,
+            args.mode,
         )
         return
 
@@ -451,18 +563,11 @@ def main():
             args.env_id, args.batch_size, args.num_steps, args.iters,
             args.path, args.mode,
         )
-        print(
-            json.dumps(
-                {
-                    "metric": f"policy_eval_env_steps_per_sec[{args.env_id} "
-                    f"B={args.batch_size}]",
-                    "value": round(steps_per_sec, 1),
-                    "unit": "steps/s",
-                    "vs_baseline": round(
-                        steps_per_sec / REFERENCE_STEPS_PER_SEC, 2
-                    ),
-                }
-            )
+        emit(
+            f"policy_eval_env_steps_per_sec[{args.env_id} "
+            f"B={args.batch_size}]",
+            steps_per_sec,
+            args.mode,
         )
         return
 
@@ -481,15 +586,10 @@ def main():
     tag = "train_" if args.train else ""
     if args.carry and not args.train:
         tag = "steady_" + tag
-    print(
-        json.dumps(
-            {
-                "metric": f"{tag}env_steps_per_sec[{args.env_id} B={args.batch_size}]",
-                "value": round(steps_per_sec, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-            }
-        )
+    emit(
+        f"{tag}env_steps_per_sec[{args.env_id} B={args.batch_size}]",
+        steps_per_sec,
+        args.mode,
     )
 
 

@@ -24,10 +24,24 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str, like: Any) -> Any:
-    """Load a PyTree saved by `save_pytree`, using `like` for structure."""
+    """Load a PyTree saved by `save_pytree`, using `like` for structure.
+
+    The treedef stored at save time must match `like`'s — loading a
+    checkpoint into a differently-shaped structure silently reorders
+    leaves, so it is an error here."""
     data = np.load(path)
-    leaves = [data[f"leaf_{i}"] for i in range(len(jax.tree.leaves(like)))]
     treedef = jax.tree.structure(like)
+    stored = bytes(data["__treedef__"].tobytes()).decode()
+    if stored != str(treedef):
+        raise ValueError(
+            "checkpoint treedef mismatch:\n"
+            f"  saved: {stored}\n  like:  {treedef}"
+        )
+    # Return device arrays, not host numpy: restored states feed straight
+    # back into step/rollout fns (incl. un-jitted eager use).
+    leaves = [
+        jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(treedef.num_leaves)
+    ]
     return jax.tree.unflatten(treedef, leaves)
 
 
