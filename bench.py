@@ -50,68 +50,13 @@ from minigrid_tpu.ops.fused_rollout import (
 
 REFERENCE_STEPS_PER_SEC = 3_000.0  # pure-Python MiniGrid, 1 CPU core (external)
 
-_MOSAIC_OK: bool | None = None
-
-
-def mosaic_available() -> bool:
-    """True iff a trivial Pallas TPU kernel actually compiles on the
-    default backend.
-
-    Round-4 lesson (VERDICT.md): selecting the engine by string-comparing
-    `jax.default_backend() == "tpu"` silently routed the driver's capture
-    onto the packed XLA twin (~208M steps/s) instead of the Pallas kernel
-    (~500M) — a 2.5x scoreboard under-report with no trace in the
-    artifact.  Probe the real capability instead of the platform name,
-    and shout when the kernel path is unavailable.
-    """
-    global _MOSAIC_OK
-    if _MOSAIC_OK is not None:
-        return _MOSAIC_OK
-    try:
-        # (b) a TPU must actually be attached.  The compile probe alone is
-        # not sufficient: current XLA:CPU compiles Mosaic kernels through
-        # the interpreter, which "works" orders of magnitude slower.
-        devs = jax.devices()
-        has_tpu = any(
-            d.platform == "tpu" or "tpu" in d.device_kind.lower()
-            for d in devs
-        )
-        if not has_tpu:
-            print(
-                "# WARNING: no TPU device attached (backend "
-                f"{jax.default_backend()!r}, devices "
-                f"{[d.device_kind for d in devs]!r}); using the packed XLA "
-                "engine."
-            )
-            _MOSAIC_OK = False
-            return False
-
-        # (a) a trivial kernel must lower to a Mosaic tpu_custom_call and
-        # compile on this backend.
-        from jax.experimental import pallas as pl
-
-        def _probe_kernel(x_ref, o_ref):
-            o_ref[...] = x_ref[...] + 1
-
-        f = pl.pallas_call(
-            _probe_kernel,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-        )
-        x = jnp.zeros((8, 128), jnp.int32)
-        lowered = jax.jit(f).lower(x)
-        if "tpu_custom_call" not in lowered.as_text():
-            raise RuntimeError("probe kernel did not lower via Mosaic")
-        lowered.compile()
-        _MOSAIC_OK = True
-    except Exception as e:  # noqa: BLE001 — any failure means "no kernel path"
-        print(
-            "# WARNING: Pallas/Mosaic probe FAILED on backend "
-            f"{jax.default_backend()!r} ({type(e).__name__}: {e}); falling "
-            "back to the packed XLA engine (~2.5x slower than the kernel "
-            "path on TPU)."
-        )
-        _MOSAIC_OK = False
-    return _MOSAIC_OK
+# Round-4 lesson (VERDICT.md): selecting the engine by string-comparing
+# `jax.default_backend() == "tpu"` silently routed the driver's capture
+# onto the packed XLA twin (~208M steps/s) instead of the Pallas kernel
+# (~500M) — a 2.5x scoreboard under-report with no trace in the artifact.
+# Probe the real capability instead (utils/platform.py), and record the
+# resolved path in the JSON line.
+from minigrid_tpu.utils.platform import mosaic_available
 
 
 def pick_path(env, requested: str, mode: str) -> str:

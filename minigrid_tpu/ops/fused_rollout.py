@@ -982,10 +982,16 @@ def _prepare_packed(env: Env, states: EnvState, mode: str = "regen"):
     the SAME layout (core/autoreset.py's `fresh.replace(rng=state.rng)`);
     in regen mode they carry the generator's fresh subkey — the next link
     of the reset chain."""
+    from minigrid_tpu.ops.packed_gen import get_packed_generator
+
     cfg = env.config
     words0, regs0 = _pack_rolled(cfg, states)
-    template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
-    tmpl_words, tmpl_regs = _pack_rolled(cfg, template)
+    gp = get_packed_generator(env)
+    if gp is not None:
+        tmpl_words, tmpl_regs = gp(states.rng, cfg)
+    else:
+        template = jax.vmap(lambda s: env.generate(s.rng, cfg))(states)
+        tmpl_words, tmpl_regs = _pack_rolled(cfg, template)
     if mode == "cached":
         tmpl_regs = tmpl_regs.at[R_RNG : R_RNG + 2].set(key_rows(states.rng))
     return words0, regs0, tmpl_words, tmpl_regs
@@ -1134,199 +1140,15 @@ def _action_stream_b(env: Env, num_steps: int, key, b: int, override=None):
     return actions.astype(jnp.int32)
 
 
-def _refresh_block_size(b: int) -> int:
-    """Default compaction block for `_masked_template_refresh`."""
-    return max(128, b // 8)
-
-
-def _masked_template_refresh(
-    env: Env, tw: jnp.ndarray, tr: jnp.ndarray, cur_rng: jnp.ndarray,
-    consumed: jnp.ndarray, block: int,
-):
-    """Regenerate the reset templates of `consumed` lanes ONLY.
-
-    Invariant served: `(tw, tr)[lane] == _pack_rolled(generate(cur_rng[lane]))`
-    — the layout the lane's NEXT reset must produce (core/autoreset.py
-    regen: `fresh = generate(state.rng)`). A reset advances the lane's
-    chain, staling its template; unconsumed lanes' templates stay valid, so
-    regenerating the full batch (one `vmap(generate)` over B — the old
-    scheme's fixed per-chunk cost) wastes `generate` work on every lane
-    that didn't reset. Instead consumed lanes are COMPACTED to the front
-    (one stable argsort), regenerated in `block`-lane slices under a
-    while_loop (`ceil(count / block)` rounds — ZERO when nothing reset),
-    and scattered back. Generation cost is thus proportional to the actual
-    reset demand (one layout per reset — the reference's own semantics),
-    not to B; on generation-bound procedural families (MultiRoom,
-    KeyCorridor) this is the regen-mode bottleneck (BASELINE.md).
-
-    The final (clamped) slice may straddle already-refreshed lanes; the
-    rewrite is idempotent (`generate` is a pure function of `cur_rng`), so
-    duplicates are harmless.
-
-    Args:
-      consumed: `(B,)` bool — lanes whose chain advanced this invocation.
-    Returns the refreshed `(tw, tr)`.
-    """
-    cfg = env.config
-    b = tw.shape[1]
-    block = min(block, b)
-    gen_block = jax.vmap(lambda k: env.generate(k, cfg))
-    count = jnp.sum(consumed.astype(jnp.int32))
-    order = jnp.argsort(jnp.where(consumed, 0, 1), stable=True).astype(jnp.int32)
-
-    def cond(st):
-        return st[0] * block < count
-
-    def body(st):
-        r, tw, tr = st
-        start = jnp.minimum(r * block, b - block)
-        idx = lax.dynamic_slice(order, (start,), (block,))  # (block,) lanes
-        mask = consumed[idx][None, :]  # (1, block)
-        fw, fr = _pack_rolled(cfg, gen_block(cur_rng[idx]))
-        tw = tw.at[:, idx].set(jnp.where(mask, fw, tw[:, idx]))
-        tr = tr.at[:, idx].set(jnp.where(mask, fr, tr[:, idx]))
-        return r + 1, tw, tr
-
-    _, tw, tr = lax.while_loop(cond, body, (jnp.int32(0), tw, tr))
-    return tw, tr
-
-
-def _build_chunked_regen(
-    env: Env, num_steps: int, tc: int, chunk_fn, refresh_block=None,
-    actions_override=None, stream_fn=None,
-):
-    """Reference-faithful regen auto-reset for RANDOM-layout families on the
-    packed engines — UNCONDITIONALLY byte-exact vs the vmap regen path.
-
-    The reference resamples a brand-new layout on every reset
-    (`reset()` → `_gen_grid`, minigrid.py:~722-748). Generating layouts
-    inside the lockstep step loop would pay full generation cost every step
-    (the vmap regen engine's bottleneck); instead the rollout runs in
-    chunks of `tc` steps and each lane carries ONE pre-generated "next
-    layout" template (`PackedCarry.tmpl_*`, invariant
-    `tmpl == generate(cur_rng)`), consumed by its first in-chunk reset.
-
-    Second-and-later resets within a chunk — which the old scheme silently
-    served the stale template (a layout distribution the reference never
-    produces, VERDICT r3 #2) — are handled by `_step_core`'s commit
-    protocol: the lane FREEZES (the step is discarded, not played), and a
-    re-entry `lax.while_loop` advances frozen lanes' chains, installs
-    their fresh layouts, pre-shifts each lane's action rows to its commit
-    cursor (`steps_done`), and re-runs the kernel until every lane has
-    committed all `tc` steps. Every committed step is bit-identical to the
-    vmap path's step at the same global index, for ANY `regen_chunk`. The
-    common case (no lane resets twice) runs exactly one kernel pass; each
-    deferred reset is counted in `metrics.reset_overlaps` (now an exact-
-    but-deferred-work counter, not an exactness caveat).
-
-    Between passes only CONSUMED lanes' templates are regenerated
-    (`_masked_template_refresh` — compacted, demand-proportional), which is
-    also what makes regen-mode throughput track the true reset demand
-    instead of paying one full-batch `vmap(generate)` per chunk.
-
-    `chunk_fn(words, regs, tmpl_words, tmpl_regs, actions_chunk, ctl0)`
-    runs `tc` packed steps under the commit protocol and returns
-    `(words', regs', ctl, rsum, episodes, csum)` with the accumulators as
-    `(1, B)` per-lane totals of COMMITTED steps.
-
-    `stream_fn(key, b) -> (T, B) int32` replaces the random-action stream
-    — the policy-in-kernel rollouts route their per-(step, lane) sampling
-    SEEDS through it (a lane's i-th committed step must consume row i
-    whether actions are pre-sampled or derived in-kernel, so the same
-    per-lane pre-shift applies; a replayed step re-derives the identical
-    action because the state and seed are identical).
-
-    Returns the CARRY-form step (`step_carry(key, carry)`); wrap with
-    `_wrap_legacy` for the `rollout(key, states)` surface.
-    """
-    cfg = env.config
-    n_chunks = num_steps // tc
-    t_iota = jnp.arange(tc, dtype=jnp.int32)[:, None]  # (tc, 1)
-
-    def step_carry(key: jax.Array, carry: PackedCarry):
-        words0, regs0 = carry.words, carry.regs
-        b = words0.shape[1]
-        block = refresh_block or _refresh_block_size(b)
-        if stream_fn is not None:
-            actions = stream_fn(key, b)
-        else:
-            actions = _action_stream_b(env, num_steps, key, b, actions_override)
-        actions = actions.reshape(n_chunks, tc, b)
-        assert carry.tmpl_words is not None, (
-            "chunked-regen carry has no templates — build it with "
-            "packed_init(env, states, mode='regen')"
-        )
-
-        def chunk_body(ch_carry, a_chunk):
-            def pass_cond(st):
-                return jnp.any(st[5] < tc)  # steps_done
-
-            def pass_body(st):
-                words, regs, tw, tr, cur_rng, steps_done, m = st
-                # Per-lane action alignment: a lane's i-th committed step
-                # of this chunk uses global action row i — pre-shift each
-                # lane's rows to its commit cursor so kernel row s is
-                # global row steps_done + s for every lane.
-                rows = jnp.minimum(steps_done + t_iota, tc - 1)  # (tc, B)
-                a_shift = jnp.take_along_axis(a_chunk, rows, axis=0)
-                ctl0 = jnp.concatenate(
-                    [
-                        jnp.zeros((1, b), jnp.int32),
-                        steps_done,
-                        jnp.zeros((1, b), jnp.int32),
-                    ],
-                    axis=0,
-                )
-                words, regs, ctl, rsum, epi, csum = chunk_fn(
-                    words, regs, tw, tr, a_shift, ctl0
-                )
-                consumed = ctl[0] == 1  # (B,)
-                # Consumed lanes' chains advance one link — to the subkey
-                # the template generator stored (generate(rng).rng), which
-                # the in-kernel reset also installed in the live regs.
-                cur_rng = jnp.where(
-                    consumed[:, None], rows_key(tr[R_RNG : R_RNG + 2]), cur_rng
-                )
-                tw, tr = _masked_template_refresh(
-                    env, tw, tr, cur_rng, consumed, block
-                )
-                m = RolloutMetrics(
-                    episodes=m.episodes + jnp.sum(epi),
-                    total_reward=m.total_reward + jnp.sum(rsum),
-                    total_steps=m.total_steps,
-                    obs_checksum=m.obs_checksum + jnp.sum(csum),
-                    reset_overlaps=m.reset_overlaps + jnp.sum(ctl[2]),
-                )
-                return (words, regs, tw, tr, cur_rng, ctl[1:2, :], m)
-
-            words, regs, tw, tr, cur_rng, m = ch_carry
-            steps_done0 = jnp.zeros((1, b), jnp.int32)
-            words, regs, tw, tr, cur_rng, _, m = lax.while_loop(
-                pass_cond,
-                pass_body,
-                (words, regs, tw, tr, cur_rng, steps_done0, m),
-            )
-            m = m._replace(total_steps=m.total_steps + b * tc)
-            return (words, regs, tw, tr, cur_rng, m), None
-
-        m0 = RolloutMetrics(
-            episodes=jnp.zeros((), jnp.int32),
-            total_reward=jnp.zeros((), jnp.float32),
-            total_steps=jnp.zeros((), jnp.int32),
-            obs_checksum=jnp.zeros((), jnp.int32),
-            reset_overlaps=jnp.zeros((), jnp.int32),
-        )
-        (words_f, regs_f, tw_f, tr_f, rng_f, metrics), _ = lax.scan(
-            chunk_body,
-            (words0, regs0, carry.tmpl_words, carry.tmpl_regs, carry.rng, m0),
-            actions,
-        )
-        # `rng_f` is the exact reset-chain position per lane (= the regen
-        # autoreset's state.rng); `tmpl_*` stay valid for the next call
-        # (invariant: tmpl == generate(rng_f) per lane).
-        return PackedCarry(words_f, regs_f, tw_f, tr_f, rng_f), metrics
-
-    return step_carry
+# Exact chunked regen (freeze/re-entry commit protocol) lives in
+# ops/chunked_regen.py; these aliases keep the historical private names
+# importable from here (parallel/train.py, older tests).
+from minigrid_tpu.ops.chunked_regen import (  # noqa: E402
+    build_chunked_regen as _build_chunked_regen,
+    masked_template_refresh as _masked_template_refresh,
+    refresh_block_size as _refresh_block_size,
+)
+from minigrid_tpu.utils.platform import mosaic_available as _mosaic_available
 
 
 def build_fused_rollout(
@@ -1384,7 +1206,7 @@ def build_fused_rollout(
         )
     cfg = env.config
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _mosaic_available()
 
     refresh = mode == "regen" and not _regen_is_static(env)
     # Bound the per-invocation step chunk (second grid dim walks the chunks;

@@ -37,13 +37,15 @@ Two surfaces:
     gradient pass (`parallel.train._trajectory_grads`) then consumes it.
     The critic rides as the 8th row of the padded head matrix.
 
-Scope: evaluation covers both auto-reset modes — random-layout regen runs
-`_build_chunked_regen`'s exact chunked refresh, with the freeze/re-entry
-commit protocol composing cleanly with online actions (a replayed step
-re-derives the identical action from the identical state and seed; the
-per-lane pre-shift applies to the SEED rows). The trajectory-collecting
-train rollout supports cached and static-layout regen (a resumed lane's
-commit cursor would not match the spill slab's loop index).
+Scope: BOTH surfaces cover both auto-reset modes on every hooked family —
+random-layout regen runs `ops.chunked_regen`'s exact chunked refresh,
+with the freeze/re-entry commit protocol composing cleanly with online
+actions (a replayed step re-derives the identical action from the
+identical state and seed; the per-lane pre-shift applies to the SEED
+rows). The trajectory-collecting train rollout composes too: the kernel
+spills at pass-local rows and the chunk wrapper merges them to each
+lane's commit cursor (chunked_regen invariant I6), so reference regen
+semantics hold during training, not just eval.
 
 Equivalence to the flax model: `policy_logits` mirrors
 `models.policy.ActorCritic.__call__` op for op (bf16 torso matmuls with
@@ -83,6 +85,7 @@ from minigrid_tpu.ops.fused_rollout import (
     packed_finish,
     packed_init,
 )
+from minigrid_tpu.utils.platform import mosaic_available as _mosaic_available
 
 # One-hot channel widths, matching models.policy._CHANNEL_WIDTHS.
 _WIDTHS = (C.NUM_OBJECTS, C.NUM_COLORS, C.NUM_STATES)
@@ -274,9 +277,9 @@ def _policy_kernel(
     wt1, b1, wt2, b2, wta, ba[, ctl0]), outputs (words, regs, rsum,
     counts[, spill][, ctl]), scratch (words, regs, vw, vis, rsum, epi,
     csum[, ctl]). `chunk_exact` runs `_step_core`'s chunked-regen commit
-    protocol (eval only — the trajectory spill's slab index is the loop
-    step, which a resumed lane's commit cursor would not match)."""
-    assert not (collect and chunk_exact)
+    protocol; with `collect` the spill stays indexed by the PASS-LOCAL
+    loop step — `ops.chunked_regen` merges it to global rows at each
+    lane's commit cursor (invariant I6 there)."""
     n_in = 11 + (1 if chunk_exact else 0)
     (
         words0_ref, regs0_ref, tmpl_words_ref, tmpl_regs_ref, seeds_ref,
@@ -286,8 +289,12 @@ def _policy_kernel(
     n_out = 4 + (1 if collect else 0) + (1 if chunk_exact else 0)
     outs = refs[n_in : n_in + n_out]
     words_out_ref, regs_out_ref, rsum_ref, counts_ref = outs[:4]
-    spill_ref = outs[4] if collect else None
-    ctl_out_ref = outs[4] if chunk_exact else None
+    _oi = 4
+    spill_ref = None
+    if collect:
+        spill_ref = outs[_oi]
+        _oi += 1
+    ctl_out_ref = outs[_oi] if chunk_exact else None
     scratch = refs[n_in + n_out :]
     words_s, regs_s, vw_s, vis_s, rsum_s, epi_s, csum_s = scratch[:7]
     ctl_s = scratch[7] if chunk_exact else None
@@ -409,20 +416,20 @@ def policy_rollout_supported(
 ) -> bool:
     """True iff the fused policy rollouts support `env` under `mode`.
 
-    Evaluation (`collect=False`) supports every hooked family in both
-    modes — random-layout regen runs the exact chunked refresh with the
-    freeze/re-entry commit protocol (online actions replay identically:
-    they are pure functions of the replayed state and seed). The
-    trajectory-collecting TRAIN rollout additionally requires cached or
-    static-layout regen (a resumed lane's commit cursor would not match
-    the spill slab's loop index)."""
+    Both surfaces support every hooked family in both modes —
+    random-layout regen runs the exact chunked refresh with the
+    freeze/re-entry commit protocol (ops/chunked_regen.py; online actions
+    replay identically: they are pure functions of the replayed state and
+    seed). The trajectory-collecting TRAIN rollout (`collect=True`)
+    composes with the protocol too: the kernel spills at pass-local rows
+    and the chunk wrapper merges them to each lane's commit cursor
+    (chunked_regen invariant I6), so fresh-layout resets hold during
+    training as well (minigrid.py:~722-748)."""
     from minigrid_tpu.ops.fused_rollout import _has_packed_step
 
     if not _has_packed_step(env):
         return False
     if mode not in ("cached", "regen"):
-        return False
-    if collect and mode == "regen" and not _regen_is_static(env):
         return False
     cfg = env.config
     return (
@@ -453,7 +460,7 @@ def _build_policy_core(
     v2 = v * v
     hw = cfg.width * cfg.height
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _mosaic_available()
     hook, remap_action, pre_hook = _packed_hook(env)
     tc = _fit_chunk(num_steps, step_chunk)
     num_chunks = num_steps // tc
@@ -675,7 +682,9 @@ def build_policy_eval_rollout(
     weights = eval_weights_from_params(params, env.config.agent_view_size)
 
     if mode == "regen" and not _regen_is_static(env):
-        from minigrid_tpu.ops.fused_rollout import _build_chunked_regen
+        from minigrid_tpu.ops.chunked_regen import (
+            build_chunked_regen as _build_chunked_regen,
+        )
 
         tc = _fit_chunk(num_steps, regen_chunk)
         core = _build_policy_core(
@@ -750,6 +759,7 @@ def build_fused_train_rollout(
     backend: str = "pallas",
     lane_block: Optional[int] = None,
     step_chunk: int = 16,
+    regen_chunk: int = 32,
     interpret: Optional[bool] = None,
 ):
     """Returns `rollout(params, key, carry) -> (carry, traj, metrics)` —
@@ -761,6 +771,15 @@ def build_fused_train_rollout(
     the exact tuple `parallel.train._trajectory_grads` consumes. Weights
     convert from `params` per call (cheap transposes), so the same built
     rollout serves every optimizer step.
+
+    Random-layout regen runs the exact chunked template refresh
+    (ops/chunked_regen.py): every reset installs a brand-new layout
+    during TRAINING, matching the reference's `reset()` -> `_gen_grid`
+    (minigrid.py:~722-748). The kernel spills trajectories at pass-local
+    rows; the chunk wrapper merges them to each lane's committed-step
+    cursor, so the collected trajectory is byte-exact for any
+    `regen_chunk` (chunked_regen invariant I6;
+    tests/test_policy_rollout.py).
     """
     if not policy_rollout_supported(env, mode, collect=True):
         raise ValueError(
@@ -769,6 +788,44 @@ def build_fused_train_rollout(
         )
     cfg = env.config
     v = cfg.agent_view_size
+
+    if mode == "regen" and not _regen_is_static(env):
+        from minigrid_tpu.ops.chunked_regen import build_chunked_regen
+
+        tc = _fit_chunk(num_steps, regen_chunk)
+        core = _build_policy_core(
+            env, tc, backend, True, lane_block, tc, interpret,
+            chunk_exact=True,
+        )
+
+        def chunk_fn(words, regs, tw, tr, seeds_chunk, ctl0, weights):
+            words_f, regs_f, rsum, epi, csum, traj, ctl = core(
+                words, regs, tw, tr, seeds_chunk, weights, ctl0
+            )
+            return words_f, regs_f, ctl, rsum, epi, csum, traj
+
+        step_carry = build_chunked_regen(
+            env, num_steps, tc, chunk_fn,
+            stream_fn=lambda key, b: _seeds_for(key, num_steps, b),
+            collect=True, with_ctx=True,
+        )
+
+        def rollout(params, key: jax.Array, carry: PackedCarry):
+            weights = train_weights_from_params(params, v)
+            carry, metrics, traj = step_carry(key, carry, weights)
+            obs_w, a_t, logp_t, val_t, rew_t, done_t = traj
+            traj_out = (
+                obs_words_to_images(obs_w, v),
+                a_t,
+                logp_t,
+                val_t,
+                rew_t,
+                done_t.astype(bool),
+            )
+            return carry, traj_out, metrics
+
+        return rollout
+
     run = _build_policy_core(
         env, num_steps, backend, True, lane_block, step_chunk, interpret
     )

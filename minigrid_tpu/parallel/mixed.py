@@ -25,6 +25,7 @@ from minigrid_tpu.core.obs import gen_obs
 from minigrid_tpu.core.state import AUX_LEN, EnvState
 from minigrid_tpu.core.step import StepResult
 from minigrid_tpu.envs.base import Env
+from minigrid_tpu.utils.platform import mosaic_available as _mosaic_available
 
 # aux slot holding the member index (families use low slots only).
 FAMILY_SLOT = AUX_LEN - 1
@@ -249,7 +250,7 @@ def build_packed_mixed_rollout(
         mk = (
             build_fused_rollout
             if backend == "pallas"
-            or (backend == "auto" and jax.default_backend() == "tpu")
+            or (backend == "auto" and _mosaic_available())
             else build_packed_xla_rollout
         )
         inners = [mk(e, num_steps, mode=mode, as_carry=as_carry) for e in envs]
@@ -277,3 +278,73 @@ def build_packed_mixed_rollout(
     return jax.jit(rollout) if mesh is None else rollout
 
 
+
+
+def build_mixed_policy_eval(
+    env_ids: Sequence[str],
+    params_list: Sequence,
+    num_steps: int,
+    mesh=None,
+    mode: str = "cached",
+    backend: str = "auto",
+    regen_chunk: int = 32,
+):
+    """Policy-in-kernel evaluation over a heterogeneous batch: one
+    homogeneous lane block per member family, each running ITS OWN
+    actor-critic (`params_list[i]`, one per member — action-space widths
+    differ across families) fused into its family's step kernel, metrics
+    summed. The mixed counterpart of
+    `parallel.packed.build_sharded_policy_eval`, on the same per-family
+    lane-block plan as `build_packed_mixed_rollout`.
+
+    Surface (carry form only — policy eval is a steady-state serving
+    loop): `step(key, carries) -> (carries, RolloutMetrics)` over a tuple
+    of one `PackedCarry` per member (build with each member's
+    `packed_init(env, states, mode)`). With a mesh, every member block
+    additionally shards over the 'env' axis.
+    """
+    from minigrid_tpu.core.rollout import RolloutMetrics
+    from minigrid_tpu.ops.policy_rollout import build_policy_eval_rollout
+    from minigrid_tpu.parallel.packed import build_sharded_policy_eval
+
+    assert len(params_list) == len(env_ids), "one params per member family"
+    if mesh is not None:
+        inners = [
+            build_sharded_policy_eval(
+                minigrid_tpu.make(e), p, num_steps, mesh, mode=mode,
+                backend=backend, as_carry=True,
+            )
+            for e, p in zip(env_ids, params_list)
+        ]
+    else:
+        if backend == "auto":
+            backend = "pallas" if _mosaic_available() else "xla"
+        inners = [
+            build_policy_eval_rollout(
+                minigrid_tpu.make(e), p, num_steps, mode=mode,
+                backend=backend, regen_chunk=regen_chunk, as_carry=True,
+            )
+            for e, p in zip(env_ids, params_list)
+        ]
+
+    def step(key: jax.Array, carries):
+        finals = []
+        total = None
+        for i, inner in enumerate(inners):
+            c, m = inner(jax.random.fold_in(key, i), carries[i])
+            finals.append(c)
+            total = (
+                m
+                if total is None
+                else RolloutMetrics(
+                    episodes=total.episodes + m.episodes,
+                    total_reward=total.total_reward + m.total_reward,
+                    total_steps=total.total_steps + m.total_steps,
+                    obs_checksum=total.obs_checksum + m.obs_checksum,
+                    reset_overlaps=jnp.asarray(total.reset_overlaps)
+                    + jnp.asarray(m.reset_overlaps),
+                )
+            )
+        return tuple(finals), total
+
+    return jax.jit(step) if mesh is None else step

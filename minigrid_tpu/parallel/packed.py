@@ -39,6 +39,7 @@ from minigrid_tpu.ops.fused_rollout import (
     fused_rollout_supported,
 )
 from minigrid_tpu.parallel.sharding import ENV_AXIS
+from minigrid_tpu.utils.platform import mosaic_available as _mosaic_available
 
 
 def shard_carry(carry: PackedCarry, mesh: Mesh) -> PackedCarry:
@@ -65,7 +66,7 @@ def shard_carry(carry: PackedCarry, mesh: Mesh) -> PackedCarry:
 def _pick_backend(env: Env, mode: str) -> str:
     if not fused_rollout_supported(env, mode=mode):
         return "vmap"
-    return "pallas" if jax.default_backend() == "tpu" else "packed"
+    return "pallas" if _mosaic_available() else "packed"
 
 
 def build_sharded_rollout(
@@ -171,7 +172,7 @@ def build_sharded_policy_eval(
     from minigrid_tpu.ops.policy_rollout import build_policy_eval_rollout
 
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas" if _mosaic_available() else "xla"
     inner = build_policy_eval_rollout(
         env, params, num_steps, mode=mode, backend=backend, as_carry=True
     )

@@ -462,7 +462,9 @@ def build_fused_train_step(
     from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
 
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from minigrid_tpu.utils.platform import mosaic_available
+
+        backend = "pallas" if mosaic_available() else "xla"
     model = make_model(env)
     optimizer = make_optimizer()
     roll = build_fused_train_rollout(env, num_steps, mode=mode, backend=backend)

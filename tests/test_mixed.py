@@ -147,3 +147,124 @@ class TestMixedRollouts:
         )
         _, m = mixed(key, states)
         assert int(m.total_steps) == 2 * B * 8
+
+
+class TestMixedRegen:
+    """Regen-mode mixed batches (VERDICT r4 #6): each member block runs
+    its own chunked template refresh; the mixed program must byte-match
+    per-family vmap regen rollouts under the same folded keys, and the
+    policy-eval mixed variant must match its per-family inners."""
+
+    IDS = ["MiniGrid-LavaCrossingS9N1-v0", "MiniGrid-FourRooms-v0"]
+
+    def test_packed_mixed_regen_matches_per_family_vmap(self):
+        import minigrid_tpu
+        from minigrid_tpu.core.rollout import build_rollout
+        from minigrid_tpu.parallel.mixed import build_packed_mixed_rollout
+
+        B = 128
+        steps = 48
+        key = jax.random.PRNGKey(5)
+        envs = [minigrid_tpu.make(e) for e in self.IDS]
+        states = tuple(
+            jax.jit(e.reset_batch, static_argnums=1)(
+                jax.random.fold_in(key, 10 + i), B
+            )[0]
+            for i, e in enumerate(envs)
+        )
+        mixed = build_packed_mixed_rollout(
+            self.IDS, steps, mode="regen", backend="packed"
+        )
+        finals, m = mixed(key, states)
+
+        tot_epi = tot_csum = 0
+        tot_rew = 0.0
+        for i, e in enumerate(envs):
+            ro = jax.jit(build_rollout(e, steps, autoreset_mode="regen"))
+            f, mi = ro(jax.random.fold_in(key, i), states[i])
+            tot_epi += int(mi.episodes)
+            tot_csum += int(mi.obs_checksum)
+            tot_rew += float(mi.total_reward)
+            for la, lb in zip(jax.tree.leaves(finals[i]), jax.tree.leaves(f)):
+                np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            assert int(mi.episodes) > 0, e.env_id  # resets genuinely fire
+        assert int(m.episodes) == tot_epi
+        assert int(m.obs_checksum) == tot_csum
+        np.testing.assert_allclose(
+            float(m.total_reward), tot_rew, rtol=1e-5, atol=1e-5
+        )
+        assert int(m.total_steps) == 2 * B * steps
+
+    def test_packed_mixed_regen_sharded_over_mesh(self):
+        import minigrid_tpu
+        from minigrid_tpu.parallel.mixed import build_packed_mixed_rollout
+
+        mesh = make_env_mesh()
+        B = 128 * mesh.devices.size
+        key = jax.random.PRNGKey(6)
+        states = tuple(
+            shard_states(
+                jax.jit(minigrid_tpu.make(e).reset_batch, static_argnums=1)(
+                    jax.random.fold_in(key, i), B
+                )[0],
+                mesh,
+            )
+            for i, e in enumerate(self.IDS)
+        )
+        mixed = build_packed_mixed_rollout(
+            self.IDS, 16, mesh=mesh, mode="regen", backend="packed"
+        )
+        _, m = mixed(key, states)
+        assert int(m.total_steps) == 2 * B * 16
+        assert int(m.episodes) > 0
+
+    def test_mixed_policy_eval_matches_per_family(self):
+        import minigrid_tpu
+        from minigrid_tpu.models.policy import ActorCritic
+        from minigrid_tpu.ops.fused_rollout import packed_init
+        from minigrid_tpu.ops.policy_rollout import build_policy_eval_rollout
+        from minigrid_tpu.parallel.mixed import build_mixed_policy_eval
+
+        B = 128
+        steps = 16
+        key = jax.random.PRNGKey(7)
+        envs = [minigrid_tpu.make(e) for e in self.IDS]
+        params = []
+        for i, e in enumerate(envs):
+            model = ActorCritic(num_actions=e.num_actions)
+            v = e.config.agent_view_size
+            params.append(
+                model.init(
+                    jax.random.PRNGKey(40 + i),
+                    jnp.zeros((1, v, v, 3), jnp.uint8),
+                )
+            )
+        carries = tuple(
+            jax.jit(lambda s, e=e: packed_init(e, s, "regen"))(
+                jax.jit(e.reset_batch, static_argnums=1)(
+                    jax.random.fold_in(key, 10 + i), B
+                )[0]
+            )
+            for i, e in enumerate(envs)
+        )
+        step = build_mixed_policy_eval(
+            self.IDS, params, steps, mode="regen", backend="xla"
+        )
+        finals, m = step(key, carries)
+
+        tot_epi = tot_csum = 0
+        for i, e in enumerate(envs):
+            inner = jax.jit(
+                build_policy_eval_rollout(
+                    e, params[i], steps, mode="regen", backend="xla",
+                    as_carry=True,
+                )
+            )
+            c, mi = inner(jax.random.fold_in(key, i), carries[i])
+            tot_epi += int(mi.episodes)
+            tot_csum += int(mi.obs_checksum)
+            for la, lb in zip(jax.tree.leaves(finals[i]), jax.tree.leaves(c)):
+                np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        assert int(m.episodes) == tot_epi
+        assert int(m.obs_checksum) == tot_csum
+        assert int(m.total_steps) == 2 * B * steps

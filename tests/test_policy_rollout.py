@@ -206,13 +206,129 @@ class TestPolicyEvalRollout:
             assert int(mx.episodes) > 0
             assert int(mx.reset_overlaps) > 0
 
-    def test_collect_rejects_chunked_regen(self):
+    def test_collect_supports_chunked_regen(self):
+        # Random-layout regen + trajectory collection composes since the
+        # pass-local-spill merge (ops/chunked_regen.py invariant I6);
+        # exactness is asserted in TestCollectChunkedRegen below.
+        env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+        assert policy_rollout_supported(env, "regen", collect=True)
+
+
+class TestCollectChunkedRegen:
+    """Trajectory collection under random-layout regen: the kernel spills
+    at pass-local rows; `ops.chunked_regen` merges them to each lane's
+    commit cursor (invariant I6). Oracle: with `regen_chunk=1` a lane can
+    never need a second in-chunk reset, so the freeze/re-entry protocol
+    never fires — that run is protocol-free ground truth, and any other
+    chunk length must reproduce it byte-for-byte."""
+
+    def _carry(self, env, b=B, seed=21):
+        from minigrid_tpu.ops.fused_rollout import packed_init
+
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(seed), b
+        )
+        return jax.jit(lambda s: packed_init(env, s, "regen"))(states)
+
+    # (env_id, resets_fire): fast-death families genuinely exercise the
+    # freeze/re-entry protocol in 48 random-policy steps; DoorKey rarely
+    # resolves that fast, so it only pins the no-reset path's exactness.
+    CASES = [
+        ("MiniGrid-DoorKey-5x5-v0", False),
+        ("MiniGrid-LavaGapS5-v0", True),  # fast lava deaths
+        # Stochastic pre-hook (in-kernel obstacle walk) + collisions:
+        # replay determinism of a frozen lane's discarded step must hold
+        # through the pre-step randomness too (invariant I4).
+        ("MiniGrid-Dynamic-Obstacles-5x5-v0", True),
+    ]
+
+    @pytest.mark.parametrize("env_id,resets_fire", CASES)
+    def test_traj_exact_any_chunk(self, env_id, resets_fire):
         from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
 
+        env = minigrid_tpu.make(env_id)
+        _, params = _model_and_params(env)
+        key = jax.random.PRNGKey(22)
+        carry = self._carry(env)
+        steps = 48
+
+        outs = {}
+        for rc in (1, 8, 48):
+            roll = jax.jit(
+                build_fused_train_rollout(
+                    env, steps, mode="regen", backend="xla", regen_chunk=rc
+                )
+            )
+            outs[rc] = roll(params, key, carry)
+
+        c1, t1, m1 = outs[1]
+        assert int(m1.reset_overlaps) == 0  # chunk=1 cannot defer
+        if resets_fire:
+            assert int(m1.episodes) > 0
+        for rc in (8, 48):
+            c2, t2, m2 = outs[rc]
+            assert int(m2.episodes) == int(m1.episodes)
+            assert int(m2.obs_checksum) == int(m1.obs_checksum)
+            for a, b_ in zip(
+                jax.tree.leaves((c1, t1)), jax.tree.leaves((c2, t2))
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        if resets_fire:
+            # The protocol must genuinely fire for the equality above to
+            # mean anything.
+            assert int(outs[48][2].reset_overlaps) > 0
+
+    def test_kernel_matches_xla_twin(self):
+        from minigrid_tpu.ops.policy_rollout import build_fused_train_rollout
+
+        env = minigrid_tpu.make("MiniGrid-LavaGapS5-v0")
+        _, params = _model_and_params(env)
+        key = jax.random.PRNGKey(23)
+        carry = self._carry(env)
+        xla = jax.jit(
+            build_fused_train_rollout(
+                env, 32, mode="regen", backend="xla", regen_chunk=8
+            )
+        )
+        pal = jax.jit(
+            build_fused_train_rollout(
+                env, 32, mode="regen", backend="pallas", interpret=True,
+                regen_chunk=8,
+            )
+        )
+        cx, tx, mx = xla(params, key, carry)
+        cp, tp, mp = pal(params, key, carry)
+        assert int(mx.episodes) == int(mp.episodes)
+        assert int(mx.reset_overlaps) == int(mp.reset_overlaps)
+        for a, b_ in zip(jax.tree.leaves((cx, tx)), jax.tree.leaves((cp, tp))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_fused_train_step_random_layout_regen(self):
+        """The flagship train step runs end-to-end with reference regen
+        semantics (fresh layout per reset) on a random-layout family."""
+        from minigrid_tpu.ops.fused_rollout import packed_init
+        from minigrid_tpu.parallel.sharding import make_env_mesh
+        from minigrid_tpu.parallel.train import (
+            build_fused_train_step,
+            init_train_state,
+        )
+
         env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
-        assert not policy_rollout_supported(env, "regen", collect=True)
-        with pytest.raises(ValueError):
-            build_fused_train_rollout(env, 8, mode="regen")
+        mesh = make_env_mesh()
+        ts = init_train_state(jax.random.PRNGKey(0), env, mesh)
+        carry = self._carry(env)
+        step = build_fused_train_step(
+            env, mesh, num_steps=16, mode="regen", backend="xla"
+        )
+        p0 = jax.tree.leaves(ts.params)[0]
+        ts2, carry2, metrics = step(ts, carry, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(metrics["env_steps"]) == B * 16
+        assert not np.array_equal(
+            np.asarray(p0), np.asarray(jax.tree.leaves(ts2.params)[0])
+        )
+        _, _, m2 = step(ts2, carry2, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m2["loss"]))
 
 
 class TestFusedTrainRollout:
