@@ -155,11 +155,24 @@ def _try_chain(key: jax.Array, config: EnvConfig, num_rooms: jnp.ndarray) -> Cha
     return Chain(tops, sizes, entry, count)
 
 
-def generate(key: jax.Array, config: EnvConfig) -> EnvState:
-    key, k_reset = jax.random.split(key)
-    state = empty_state(config, rng=k_reset)
-    w, h = config.width, config.height
+class Plan(NamedTuple):
+    """Everything `generate` decides BEFORE touching the grid: the room
+    chain, per-room door colors, and the grid-dependent sampling keys.
+    Shared verbatim by the PyTree painter (`generate`) and the lane-major
+    packed painter (`generate_packed`) so their RNG call trees — and
+    therefore their layouts — are byte-identical."""
+
+    k_reset: jnp.ndarray  # (2,) uint32 — the state's reset-chain subkey
+    chain: Chain
+    door_colors: jnp.ndarray  # (nmax,) uint8 (row i valid for 1 <= i < n)
+    k_agent: jnp.ndarray  # (2,) uint32 — agent cell draw
+    agent_dir: jnp.ndarray  # () int32
+    k_goal: jnp.ndarray  # (2,) uint32 — goal cell draw
+
+
+def _plan(key: jax.Array, config: EnvConfig) -> Plan:
     nmax = config.max_num_rooms
+    key, k_reset = jax.random.split(key)
 
     ks = jax.random.split(key, 6)
     num_rooms = jax.random.randint(
@@ -186,7 +199,39 @@ def generate(key: jax.Array, config: EnvConfig) -> EnvState:
         jnp.zeros((), jnp.int32),
     )
     chain, _, _ = lax.while_loop(cond, body, (empty_chain, ks[1], jnp.int32(0)))
-    n = chain.count  # dynamic ≤ nmax
+    n = chain.count  # dynamic <= nmax
+
+    # Entry-door colors: consecutive-distinct, drawn in the reference's
+    # sorted-color-list coordinates (no grid dependency).
+    door_keys = jax.random.split(ks[2], nmax)
+    prev_sorted = jnp.int32(-1)
+    color_order = jnp.asarray(COLOR_ORDER, jnp.uint8)
+    door_colors = jnp.zeros((nmax,), jnp.uint8)
+    for i in range(1, nmax):
+        act = i < n
+        has_prev = prev_sorted >= 0
+        r6 = jax.random.randint(door_keys[i], (), 0, 6)
+        r5 = jax.random.randint(door_keys[i], (), 0, 5)
+        pick = jnp.where(has_prev, jnp.where(r5 >= prev_sorted, r5 + 1, r5), r6)
+        door_colors = door_colors.at[i].set(color_order[pick])
+        prev_sorted = jnp.where(act, pick, prev_sorted)
+
+    return Plan(
+        k_reset=k_reset,
+        chain=chain,
+        door_colors=door_colors,
+        k_agent=ks[3],
+        agent_dir=sampling.sample_direction(ks[4]),
+        k_goal=ks[5],
+    )
+
+
+def generate(key: jax.Array, config: EnvConfig) -> EnvState:
+    plan = _plan(key, config)
+    chain, n = plan.chain, plan.chain.count
+    state = empty_state(config, rng=plan.k_reset)
+    w, h = config.width, config.height
+    nmax = config.max_num_rooms
 
     # Paint room wall outlines (active rooms only).
     grid = state.grid
@@ -203,52 +248,103 @@ def generate(key: jax.Array, config: EnvConfig) -> EnvState:
         grid = G.paint_rect(grid, jnp.where(act, tx + sx - 1, tx), ty, x1,
                             y1, G.WALL_CELL)
 
-    # Entry doors with consecutive-color-distinct chain, drawn in the
-    # reference's sorted-color-list coordinates.
-    door_keys = jax.random.split(ks[2], nmax)
-    prev_sorted = jnp.int32(-1)
-    color_order = jnp.asarray(COLOR_ORDER, jnp.uint8)
+    # Entry doors (colors precomputed in the plan).
     for i in range(1, nmax):
         act = i < n
-        has_prev = prev_sorted >= 0
-        r6 = jax.random.randint(door_keys[i], (), 0, 6)
-        r5 = jax.random.randint(door_keys[i], (), 0, 5)
-        pick = jnp.where(has_prev, jnp.where(r5 >= prev_sorted, r5 + 1, r5), r6)
-        color = color_order[pick]
         cell = jnp.stack(
-            [jnp.uint8(C.DOOR), color, jnp.uint8(C.STATE_CLOSED),
-             jnp.uint8(0), jnp.uint8(0)]
+            [jnp.uint8(C.DOOR), plan.door_colors[i],
+             jnp.uint8(C.STATE_CLOSED), jnp.uint8(0), jnp.uint8(0)]
         )
         ex, ey = chain.entry[i, 0], chain.entry[i, 1]
         # Masked write instead of gather-then-scatter: `act` folds into one
         # (H, W, 5) where (the per-lane dynamic gather of the old cell cost
         # more than the whole wall paint under vmap).
         grid = jnp.where(act, G.set_cell(grid, ex, ey, cell), grid)
-        prev_sorted = jnp.where(act, pick, prev_sorted)
 
     # Agent in room 0; goal in the last room.
     t0, s0 = chain.tops[0], chain.sizes[0]
     mask0 = sampling.rect_mask(h, w, t0[0], t0[1], s0[0], s0[1])
     ax, ay = sampling.sample_cell(
-        ks[3], sampling.free_cell_mask(grid, None) & mask0
+        plan.k_agent, sampling.free_cell_mask(grid, None) & mask0
     )
     agent_pos = jnp.stack([ax, ay])
-    agent_dir = sampling.sample_direction(ks[4])
 
     tl = chain.tops[jnp.maximum(n - 1, 0)]
     sl = chain.sizes[jnp.maximum(n - 1, 0)]
     maskl = sampling.rect_mask(h, w, tl[0], tl[1], sl[0], sl[1])
     gx, gy = sampling.sample_cell(
-        ks[5], sampling.free_cell_mask(grid, agent_pos) & maskl
+        plan.k_goal, sampling.free_cell_mask(grid, agent_pos) & maskl
     )
     grid = G.set_cell(grid, gx, gy, (C.GOAL, C.GREEN, 0, 0, 0))
 
     return state.replace(
         grid=grid,
         agent_pos=agent_pos,
-        agent_dir=agent_dir,
+        agent_dir=plan.agent_dir,
         mission=jnp.asarray(missions.encode(MISSION)),
     )
+
+
+def generate_packed(keys: jnp.ndarray, config: EnvConfig):
+    """Lane-major batched generation (ops/packed_gen.py): the scalar plan
+    is the vmap'd `_plan` (byte-identical RNG), the paint runs on
+    `(HW, B)` int32 words. Byte-exact vs
+    `_pack_rolled(cfg, vmap(generate)(keys))` (tests/test_packed_gen.py).
+    """
+    from minigrid_tpu.ops import packed_gen as PG
+
+    w, h = config.width, config.height
+    nmax = config.max_num_rooms
+    b = keys.shape[0]
+    plan = jax.vmap(lambda k: _plan(k, config))(keys)
+    chain, n = plan.chain, plan.chain.count  # arrays (B, ...), (B,)
+
+    xs, ys = PG.xy_iota(h, w)
+    words = PG.empty_words(h, w, b)
+
+    # Room wall outlines: one fused border mask per room slot.
+    for i in range(nmax):
+        words = PG.outline_rect_words(
+            words, xs, ys,
+            chain.tops[:, i, 0], chain.tops[:, i, 1],
+            chain.sizes[:, i, 0], chain.sizes[:, i, 1],
+            PG.WALL_WORD, active=i < n,
+        )
+
+    # Entry doors.
+    door_word_base = C.DOOR | (C.STATE_CLOSED << 8)
+    for i in range(1, nmax):
+        word = door_word_base | (
+            plan.door_colors[:, i].astype(jnp.int32) << 4
+        )
+        words = PG.set_cell_words(
+            words, xs, ys, chain.entry[:, i, 0], chain.entry[:, i, 1],
+            word, active=i < n,
+        )
+
+    # Agent in room 0; goal in the last room.
+    mask0 = PG.rect_mask_words(
+        xs, ys, chain.tops[:, 0, 0], chain.tops[:, 0, 1],
+        chain.sizes[:, 0, 0], chain.sizes[:, 0, 1],
+    )
+    ax, ay = PG.sample_cell_words(
+        plan.k_agent, PG.free_mask_words(words, xs, ys) & mask0, w
+    )
+
+    last = jnp.maximum(n - 1, 0)[:, None, None]
+    tl = jnp.take_along_axis(chain.tops, last, axis=1)[:, 0, :]  # (B, 2)
+    sl = jnp.take_along_axis(chain.sizes, last, axis=1)[:, 0, :]
+    maskl = PG.rect_mask_words(xs, ys, tl[:, 0], tl[:, 1], sl[:, 0], sl[:, 1])
+    gx, gy = PG.sample_cell_words(
+        plan.k_goal, PG.free_mask_words(words, xs, ys, ax, ay) & maskl, w
+    )
+    words = PG.set_cell_words(words, xs, ys, gx, gy, PG.GOAL_WORD)
+
+    regs = PG.build_regs(
+        b, ax, ay, plan.agent_dir, plan.k_reset,
+        mission=jnp.asarray(missions.encode(MISSION)),
+    )
+    return PG.finish_packed(words, regs, w)
 
 
 step = base_step

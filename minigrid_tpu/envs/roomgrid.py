@@ -29,6 +29,9 @@ from minigrid_tpu.core.state import EnvConfig
 # _rand_color draws uniformly from sorted COLOR_NAMES (minigrid.py:~885).
 COLOR_ORDER = tuple(C.COLOR_TO_IDX[name] for name in C.COLOR_NAMES)
 
+# connect_plan: unrolled draws per while-iteration (see its body).
+_DRAW_BLOCK = 16
+
 # Door slot order: right, down, left, up (roomgrid.py:~142-200); slot k's
 # wall direction vector is DIR_TO_VEC[k].
 RIGHT, DOWN, LEFT, UP = 0, 1, 2, 3
@@ -56,21 +59,12 @@ def room_top(config: EnvConfig, i, j) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.asarray(i) * s, jnp.asarray(j) * s
 
 
-def init(key: jax.Array, config: EnvConfig, base_grid: jnp.ndarray) -> RG:
-    """Paint all room walls, draw random door positions, center the agent.
-
-    Mirrors `RoomGrid._gen_grid` (roomgrid.py:~142-200): every room gets a
-    `wall_rect`; each right/down shared wall gets a random candidate door
-    position (left/up slots alias the neighbor's right/down slot).
-    """
+def init_plan(key: jax.Array, config: EnvConfig) -> jnp.ndarray:
+    """The random door-slot positions of `init` — the only RNG draws in
+    the room-grid scaffold. Split out so the lane-major packed generators
+    (ops/packed_gen.py) can reuse the identical draw tree while painting
+    the (static) walls in the packed layout. Returns `(R, Cc, 4, 2)`."""
     rows, cols, rs = config.num_rows, config.num_cols, config.room_size
-    grid = base_grid
-
-    for j in range(rows):
-        for i in range(cols):
-            tx, ty = i * (rs - 1), j * (rs - 1)
-            grid = G.wall_rect(grid, tx, ty, rs, rs)
-
     door_pos = jnp.zeros((rows, cols, 4, 2), jnp.int32)
     keys = jax.random.split(key, rows * cols * 2).reshape(rows, cols, 2, 2)
     for j in range(rows):
@@ -93,6 +87,25 @@ def init(key: jax.Array, config: EnvConfig, base_grid: jnp.ndarray) -> RG:
                 door_pos = door_pos.at[j, i, LEFT].set(door_pos[j, i - 1, RIGHT])
             if j > 0:
                 door_pos = door_pos.at[j, i, UP].set(door_pos[j - 1, i, DOWN])
+    return door_pos
+
+
+def init(key: jax.Array, config: EnvConfig, base_grid: jnp.ndarray) -> RG:
+    """Paint all room walls, draw random door positions, center the agent.
+
+    Mirrors `RoomGrid._gen_grid` (roomgrid.py:~142-200): every room gets a
+    `wall_rect`; each right/down shared wall gets a random candidate door
+    position (left/up slots alias the neighbor's right/down slot).
+    """
+    rows, cols, rs = config.num_rows, config.num_cols, config.room_size
+    grid = base_grid
+
+    for j in range(rows):
+        for i in range(cols):
+            tx, ty = i * (rs - 1), j * (rs - 1)
+            grid = G.wall_rect(grid, tx, ty, rs, rs)
+
+    door_pos = init_plan(key, config)
 
     # Agent starts at the center of the middle room facing right
     # (roomgrid.py:~195); env subclasses usually re-place it.
@@ -276,32 +289,25 @@ def place_agent(
     return rg, d.astype(jnp.int32)
 
 
-def connect_all(
-    rg: RG, config: EnvConfig, key: jax.Array, max_itrs: int = 5000
-) -> RG:
-    """Randomly add unlocked doors until every room is reachable from the
-    agent's room (`RoomGrid.connect_all`, roomgrid.py:~332-375).
-
-    Under `vmap` the while_loop iterates until the SLOWEST lane converges
-    (median ~20, tail ~100+ draws), so per-iteration state size is
-    everything. Two rewrites vs the naive port: (1) the loop never touches
-    the `(H, W, 5)` grid — accepted doors are painted ONCE afterwards
-    (≤ R·Cc·2 shared walls, statically unrolled); (2) the loop state is
-    BIT-PACKED per lane — door existence is one int32 room-bitmask per
-    slot direction (bit j·Cc+i = room (i,j)) and the reachability flood is
-    R·Cc shift-OR steps on those masks, so one iteration is ~30 scalar
-    int-ops per lane instead of scatters into padded (R, Cc, 4) arrays
-    (which made batched KeyCorridorS6R3 generation ~170× slower than
-    MultiRoom). Identical draw sequence, identical final layout."""
-    rows, cols, rs = config.num_rows, config.num_cols, config.room_size
+def connect_plan(
+    key: jax.Array,
+    config: EnvConfig,
+    start_i,
+    start_j,
+    locked_2d: jnp.ndarray,  # (R, Cc) bool
+    has_door0: jnp.ndarray,  # (R, Cc, 4) bool
+    max_itrs: int = 5000,
+):
+    """The randomized door-adding loop of `connect_all`, grid-free: loop
+    state is one int32 room-bitmask per slot direction and the
+    reachability check is an R*Cc-step shift-OR flood, so one iteration is
+    ~30 scalar int-ops per lane. Returns `(has_door_f (R, Cc, 4) bool,
+    colors_f (R, Cc, 4) uint8)` for the caller to paint (the packed
+    generators paint into the lane-major word layout instead of the
+    PyTree grid). Identical draw sequence to the reference's loop."""
+    rows, cols = config.num_rows, config.num_cols
     rc = rows * cols
     assert rc <= 30, "room-bitmask packing needs rows*cols <= 30"
-    start_i = rg.agent_pos[0] // (rs - 1)
-    start_j = rg.agent_pos[1] // (rs - 1)
-    # Clamp to the last room for positions on the final shared wall line.
-    start_i = jnp.minimum(start_i, cols - 1)
-    start_j = jnp.minimum(start_j, rows - 1)
-
     full = (1 << rc) - 1
     right_edge = sum(1 << (j * cols + cols - 1) for j in range(rows))
     left_edge = sum(1 << (j * cols) for j in range(rows))
@@ -310,8 +316,8 @@ def connect_all(
     def pack(mask_2d):  # (R, Cc) bool -> () int32 bitmask
         return jnp.sum(jnp.where(mask_2d.reshape(-1), room_bits, 0))
 
-    locked_bits = pack(rg.locked)
-    hd0 = jnp.stack([pack(rg.has_door[:, :, k]) for k in range(4)])  # (4,)
+    locked_bits = pack(locked_2d)
+    hd0 = jnp.stack([pack(has_door0[:, :, k]) for k in range(4)])  # (4,)
 
     def connected(hd):
         hdr, hdd, hdl, hdu = hd[0], hd[1], hd[2], hd[3]
@@ -331,32 +337,48 @@ def connect_all(
         hd, colors, key, itrs = carry
         return ~connected(hd) & (itrs < max_itrs)
 
+    # Draws are processed in UNROLLED blocks of `_DRAW_BLOCK` per
+    # while-iteration: under vmap the batched while_loop runs to the
+    # SLOWEST lane (median ~20 draws, max ~130 on KeyCorridorS6R3) and
+    # each while-iteration carries a large fixed dispatch cost on TPU —
+    # measured ~1.6 ms/iteration at B=32k, 214 ms total, the dominant
+    # cost of RoomGrid generation. Unrolling cuts the iteration count
+    # ~16x. Byte-exact: each unrolled draw re-derives the per-lane stop
+    # (`done`) and gates every state update on it — exactly the masking
+    # vmap's while-batching applies per iteration — and a stopped lane's
+    # post-convergence key splits are never consumed.
     def body(carry):
         hd, colors, key, itrs = carry
-        key, k_i, k_j, k_k, k_c = jax.random.split(key, 5)
-        i = jax.random.randint(k_i, (), 0, cols)
-        j = jax.random.randint(k_j, (), 0, rows)
-        k = jax.random.randint(k_k, (), 0, 4)
-        ni, nj = _neighbor_idx(i, j, k)
-        nim, njm = ni % cols, nj % rows
-        bit = jnp.int32(1) << (j * cols + i)
-        nbit = jnp.int32(1) << (njm * cols + nim)
-        ok = (
-            neighbor_exists(config, i, j, k)
-            & ((hd[k] & bit) == 0)
-            & ((locked_bits & bit) == 0)
-            & ((locked_bits & nbit) == 0)
-        )
-        color = rand_color(k_c)
-        ksym = (k + 2) % 4
-        hd = hd.at[k].set(hd[k] | jnp.where(ok, bit, 0))
-        hd = hd.at[ksym].set(hd[ksym] | jnp.where(ok, nbit, 0))
-        # Flat (R·Cc·4,) color vector; two one-hot selects per accept.
-        slot = (j * cols + i) * 4 + k
-        nslot = (njm * cols + nim) * 4 + ksym
-        idx = jnp.arange(rc * 4)
-        colors = jnp.where(ok & ((idx == slot) | (idx == nslot)), color, colors)
-        return hd, colors, key, itrs + 1
+        for _ in range(_DRAW_BLOCK):
+            done = connected(hd) | (itrs >= max_itrs)
+            key, k_i, k_j, k_k, k_c = jax.random.split(key, 5)
+            i = jax.random.randint(k_i, (), 0, cols)
+            j = jax.random.randint(k_j, (), 0, rows)
+            k = jax.random.randint(k_k, (), 0, 4)
+            ni, nj = _neighbor_idx(i, j, k)
+            nim, njm = ni % cols, nj % rows
+            bit = jnp.int32(1) << (j * cols + i)
+            nbit = jnp.int32(1) << (njm * cols + nim)
+            ok = (
+                ~done
+                & neighbor_exists(config, i, j, k)
+                & ((hd[k] & bit) == 0)
+                & ((locked_bits & bit) == 0)
+                & ((locked_bits & nbit) == 0)
+            )
+            color = rand_color(k_c)
+            ksym = (k + 2) % 4
+            hd = hd.at[k].set(hd[k] | jnp.where(ok, bit, 0))
+            hd = hd.at[ksym].set(hd[ksym] | jnp.where(ok, nbit, 0))
+            # Flat (R*Cc*4,) color vector; two one-hot selects per accept.
+            slot = (j * cols + i) * 4 + k
+            nslot = (njm * cols + nim) * 4 + ksym
+            idx = jnp.arange(rc * 4)
+            colors = jnp.where(
+                ok & ((idx == slot) | (idx == nslot)), color, colors
+            )
+            itrs = itrs + jnp.where(done, 0, 1)
+        return hd, colors, key, itrs
 
     colors0 = jnp.zeros((rc * 4,), jnp.uint8)
     hd_f, colors_flat, _, _ = lax.while_loop(
@@ -368,7 +390,36 @@ def connect_all(
         .reshape(rows, cols, 4)
     )
     colors_f = colors_flat.reshape(rows, cols, 4)
+    return has_door_f, colors_f
 
+
+def connect_all(
+    rg: RG, config: EnvConfig, key: jax.Array, max_itrs: int = 5000
+) -> RG:
+    """Randomly add unlocked doors until every room is reachable from the
+    agent's room (`RoomGrid.connect_all`, roomgrid.py:~332-375).
+
+    Under `vmap` the while_loop iterates until the SLOWEST lane converges
+    (median ~20, tail ~100+ draws), so per-iteration state size is
+    everything. Two rewrites vs the naive port: (1) the loop never touches
+    the `(H, W, 5)` grid — accepted doors are painted ONCE afterwards
+    (≤ R·Cc·2 shared walls, statically unrolled); (2) the loop state is
+    BIT-PACKED per lane — door existence is one int32 room-bitmask per
+    slot direction (bit j·Cc+i = room (i,j)) and the reachability flood is
+    R·Cc shift-OR steps on those masks, so one iteration is ~30 scalar
+    int-ops per lane instead of scatters into padded (R, Cc, 4) arrays
+    (which made batched KeyCorridorS6R3 generation ~170× slower than
+    MultiRoom). Identical draw sequence, identical final layout."""
+    rows, cols, rs = config.num_rows, config.num_cols, config.room_size
+    start_i = rg.agent_pos[0] // (rs - 1)
+    start_j = rg.agent_pos[1] // (rs - 1)
+    # Clamp to the last room for positions on the final shared wall line.
+    start_i = jnp.minimum(start_i, cols - 1)
+    start_j = jnp.minimum(start_j, rows - 1)
+    has_door_f, colors_f = connect_plan(
+        key, config, start_i, start_j, rg.locked, rg.has_door,
+        max_itrs=max_itrs,
+    )
     # Paint the added doors (every shared wall is some room's right/down
     # slot; the symmetric registration above guarantees the accepting
     # room's slot carries the color).
