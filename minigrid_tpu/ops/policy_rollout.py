@@ -167,6 +167,21 @@ def train_weights_from_params(params, view: int) -> EvalWeights:
     )
 
 
+def _dot_bf16_f32(a, b):
+    """bf16 x bf16 -> f32-accumulated dot, portable.
+
+    Off-TPU the inputs upcast to f32 first: XLA:CPU's partitioned dot
+    thunk lacks BF16xBF16=F32 (hit by the sharded gradient pass), and the
+    upcast is BIT-IDENTICAL — bf16 values embed losslessly in f32, the
+    products are exact in f32 either way, and the accumulation is f32 in
+    both forms. On TPU the bf16 operands feed the MXU directly.
+    """
+    if jax.default_backend() != "tpu":
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def policy_logits(vw, vis, w: EvalWeights, view: int) -> jnp.ndarray:
     """(V², B) packed view -> (8, B) f32 head rows (actor [+ critic]).
 
@@ -181,9 +196,9 @@ def policy_logits(vw, vis, w: EvalWeights, view: int) -> jnp.ndarray:
         for val in range(width):
             rows.append((chan == val).astype(jnp.bfloat16))
     feats = jnp.concatenate(rows, axis=0)  # (V²·20, B) bf16
-    h1 = jnp.dot(w.wt1, feats, preferred_element_type=jnp.float32)
+    h1 = _dot_bf16_f32(w.wt1, feats)
     h1 = jnp.maximum(h1.astype(jnp.bfloat16) + w.b1, 0)
-    h2 = jnp.dot(w.wt2, h1, preferred_element_type=jnp.float32)
+    h2 = _dot_bf16_f32(w.wt2, h1)
     h2 = jnp.maximum(h2.astype(jnp.bfloat16) + w.b2, 0)
     logits = jnp.dot(
         w.wta, h2.astype(jnp.float32), preferred_element_type=jnp.float32
@@ -761,10 +776,17 @@ def build_fused_train_rollout(
     step_chunk: int = 16,
     regen_chunk: int = 32,
     interpret: Optional[bool] = None,
+    raw_obs: bool = False,
 ):
     """Returns `rollout(params, key, carry) -> (carry, traj, metrics)` —
     the trajectory-COLLECTING policy-in-kernel rollout that feeds
     `parallel.train.build_fused_train_step`.
+
+    `raw_obs=True` returns the spilled COMPACT obs words `(T, V², B)`
+    int32 in place of the images — the packed-layout gradient pass
+    (`parallel.train._trajectory_grads_packed`) consumes them directly,
+    skipping the (T, B, V, V, 3) image materialization and the flax
+    one-hot re-encode entirely.
 
     `traj` is `(obs_images (T, B, V, V, 3) u8, actions (T, B) i32, logp
     (T, B) f32, value (T, B) f32, reward (T, B) f32, done (T, B) bool)` —
@@ -815,7 +837,7 @@ def build_fused_train_rollout(
             carry, metrics, traj = step_carry(key, carry, weights)
             obs_w, a_t, logp_t, val_t, rew_t, done_t = traj
             traj_out = (
-                obs_words_to_images(obs_w, v),
+                obs_w if raw_obs else obs_words_to_images(obs_w, v),
                 a_t,
                 logp_t,
                 val_t,
@@ -843,7 +865,7 @@ def build_fused_train_rollout(
             rng = _replay_rng_chain(env, rng, epi[0])
         obs_w, a_t, logp_t, val_t, rew_t, done_t = traj
         traj_out = (
-            obs_words_to_images(obs_w, v),
+            obs_w if raw_obs else obs_words_to_images(obs_w, v),
             a_t,
             logp_t,
             val_t,

@@ -36,7 +36,13 @@ def make_model(env: Env) -> ActorCritic:
 
 
 def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
-    return optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr))
+    # optax.flatten: run the update math on ONE concatenated vector
+    # instead of per-leaf ops — the 8-leaf tree update measured 25 ms/step
+    # on the tunneled TPU (pure small-op dispatch; the arithmetic is
+    # microseconds), ~8% of the whole fused train step.
+    return optax.flatten(
+        optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr))
+    )
 
 
 def init_train_state(key: jax.Array, env: Env, mesh: Mesh) -> TrainState:
@@ -129,6 +135,101 @@ def _trajectory_grads(
     (grads, sums), _ = lax.scan(
         body, (zero_g, jnp.zeros((3,), jnp.float32)), chunks
     )
+    pg_loss = sums[0] / denom
+    v_loss = sums[1] / denom
+    ent = sums[2] / denom
+    metrics = {
+        "loss": pg_loss + value_coef * v_loss - entropy_coef * ent,
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": ent,
+        "reward_per_step": jnp.mean(reward),
+        "episodes": jnp.sum(done.astype(jnp.float32)),
+    }
+    return grads, metrics
+
+
+def _trajectory_grads_packed(
+    params, traj, view, num_actions, gamma, value_coef, entropy_coef,
+    time_chunk=4,
+):
+    """`_trajectory_grads` in the KERNEL's feature layout: consumes the
+    spilled compact obs words `(T, V², B)` directly and runs the forward
+    with `ops.policy_rollout.policy_logits` on the transposed, permuted
+    `EvalWeights` — differentiating THROUGH `train_weights_from_params`,
+    so gradients land on the ordinary flax param tree exactly (the
+    permutation/transpose/cast/pad chain is linear; JAX transposes it).
+
+    Motivation (BASELINE.md train profile): the flax-layout gradient pass
+    re-materialized the trajectory as `(T, B, V, V, 3)` uint8 images
+    (1.2 GB at B=32k, T=256) and re-encoded `(chunk·B, 980)` one-hots
+    from them every chunk, holding the grad pass at ~36% MXU. Here the
+    features build from the 12-bit obs words with ~20 vectorized compares
+    (the kernel's own recipe) straight into the `(980, chunk·B)` matmul
+    operand. Loss math is identical term-for-term (reduction order
+    differs, so grads agree to float tolerance — asserted in
+    tests/test_policy_rollout.py)."""
+    from minigrid_tpu.ops.policy_rollout import (
+        policy_logits,
+        train_weights_from_params,
+    )
+
+    obs_w, actions, logp_b, value, reward, done = traj  # obs_w (T, V², B)
+    t_total, b = reward.shape
+    tc = _fit_time_chunk(t_total, time_chunk)
+    returns = _trajectory_returns(reward, done, gamma)
+    adv = lax.stop_gradient(returns - value)
+    ret_sg = lax.stop_gradient(returns)
+    denom = float(t_total * b)
+    a = num_actions
+
+    def reshape_c(x):
+        return x.reshape((t_total // tc, tc) + x.shape[1:])
+
+    chunks = (reshape_c(obs_w), reshape_c(actions), reshape_c(adv),
+              reshape_c(ret_sg))
+
+    def chunk_loss(w, chunk):
+        obs_c, act_c, adv_c, ret_c = chunk  # (tc, V², B), (tc, B), ...
+        # One (980, B) matmul chain per step, UNROLLED over the chunk:
+        # obs_c[s] is already lane-major contiguous, so no time-major ->
+        # lane-major transpose ever materializes (round 4's lane-major
+        # grad attempt lost 17% to exactly that relayout, BASELINE.md).
+        pg_sum = jnp.float32(0)
+        v_sum = jnp.float32(0)
+        ent_sum = jnp.float32(0)
+        for s_i in range(tc):
+            wv = obs_c[s_i]  # (V², B)
+            # Occlusion is folded into the words (zeros), so vis == 1.
+            head = policy_logits(wv, jnp.ones_like(wv), w, view)  # (8, B)
+            logits = head[:a]
+            logp_all = jax.nn.log_softmax(logits, axis=0)
+            logp = jnp.take_along_axis(logp_all, act_c[s_i][None], axis=0)[0]
+            entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=0)
+            pg_sum -= jnp.sum(logp * adv_c[s_i])
+            v_sum += jnp.sum((head[7] - ret_c[s_i]) ** 2)
+            ent_sum += jnp.sum(entropy)
+        loss = (pg_sum + value_coef * v_sum - entropy_coef * ent_sum) / denom
+        return loss, jnp.stack([pg_sum, v_sum, ent_sum])
+
+    # The flax->kernel weight transform (permute/transpose/cast/pad) is
+    # LINEAR, so accumulating cotangents in the kernel layout and pulling
+    # them back ONCE equals per-chunk pullbacks exactly — and drops a
+    # (980, 256) gather + scatter-add pair from every scan iteration.
+    w0, pullback = jax.vjp(
+        lambda p: train_weights_from_params(p, view), params
+    )
+
+    def body(acc, chunk):
+        gw, sums = acc
+        g, s_ = jax.grad(chunk_loss, has_aux=True)(w0, chunk)
+        return (jax.tree.map(jnp.add, gw, g), sums + s_), None
+
+    zero_gw = jax.tree.map(jnp.zeros_like, w0)
+    (gw, sums), _ = lax.scan(
+        body, (zero_gw, jnp.zeros((3,), jnp.float32)), chunks
+    )
+    grads = pullback(gw)[0]
     pg_loss = sums[0] / denom
     v_loss = sums[1] / denom
     ent = sums[2] / denom
@@ -465,15 +566,17 @@ def build_fused_train_step(
         from minigrid_tpu.utils.platform import mosaic_available
 
         backend = "pallas" if mosaic_available() else "xla"
-    model = make_model(env)
     optimizer = make_optimizer()
-    roll = build_fused_train_rollout(env, num_steps, mode=mode, backend=backend)
+    roll = build_fused_train_rollout(
+        env, num_steps, mode=mode, backend=backend, raw_obs=True
+    )
+    view = env.config.agent_view_size
 
     def train_step(train_state: TrainState, carry, key: jax.Array):
         carry, traj, roll_metrics = roll(train_state.params, key, carry)
-        grads, metrics = _trajectory_grads(
-            model, train_state.params, traj, gamma, value_coef, entropy_coef,
-            time_chunk=time_chunk,
+        grads, metrics = _trajectory_grads_packed(
+            train_state.params, traj, view, env.num_actions, gamma,
+            value_coef, entropy_coef, time_chunk=time_chunk,
         )
         updates, opt_state = optimizer.update(
             grads, train_state.opt_state, train_state.params

@@ -471,3 +471,62 @@ class TestShardedPolicyEval:
         np.testing.assert_array_equal(
             np.asarray(final.agent_pos[: b // n]), np.asarray(s0.agent_pos)
         )
+
+
+class TestPackedGradPass:
+    """The packed-layout gradient pass (parallel/train.py
+    _trajectory_grads_packed) consumes spilled obs words directly and
+    differentiates through the kernel's weight layout; it must agree with
+    the flax-layout pass on the same trajectory to float tolerance (bf16
+    matmul order differs), with the f32 heads agreeing tightly."""
+
+    def test_grads_match_flax_pass(self):
+        from minigrid_tpu.ops.fused_rollout import packed_init
+        from minigrid_tpu.ops.policy_rollout import (
+            build_fused_train_rollout,
+            obs_words_to_images,
+        )
+        from minigrid_tpu.parallel import train as T
+        from minigrid_tpu.parallel.sharding import make_env_mesh
+
+        env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+        mesh = make_env_mesh()
+        ts = T.init_train_state(jax.random.PRNGKey(0), env, mesh)
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(1), B
+        )
+        carry = jax.jit(lambda s: packed_init(env, s, "regen"))(states)
+        roll = jax.jit(
+            build_fused_train_rollout(
+                env, 16, mode="regen", backend="xla", raw_obs=True
+            )
+        )
+        _, traj_w, _ = roll(ts.params, jax.random.PRNGKey(2), carry)
+        v = env.config.agent_view_size
+        traj_img = (obs_words_to_images(traj_w[0], v),) + traj_w[1:]
+        model = T.make_model(env)
+        g1, m1 = jax.jit(
+            lambda p: T._trajectory_grads(
+                model, p, traj_img, 0.99, 0.5, 0.01, 4
+            )
+        )(ts.params)
+        g2, m2 = jax.jit(
+            lambda p: T._trajectory_grads_packed(
+                p, traj_w, v, env.num_actions, 0.99, 0.5, 0.01, 4
+            )
+        )(ts.params)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+        )
+        p1, p2 = g1["params"], g2["params"]
+        for head in ("actor", "critic"):  # f32 paths: tight
+            for leaf in ("kernel", "bias"):
+                np.testing.assert_allclose(
+                    np.asarray(p1[head][leaf]), np.asarray(p2[head][leaf]),
+                    rtol=1e-4, atol=1e-6,
+                )
+        for torso in ("torso_0", "torso_1"):  # bf16 paths: loose
+            for leaf in ("kernel", "bias"):
+                a_, b_ = np.asarray(p1[torso][leaf]), np.asarray(p2[torso][leaf])
+                scale = np.abs(a_).max() + 1e-9
+                assert np.abs(a_ - b_).max() / scale < 0.05, (torso, leaf)
