@@ -130,13 +130,18 @@ def masked_template_refresh(
     return tw, tr
 
 
-def _merge_spill(slab, spill, c0, c1):
+def _merge_spill(slab, spill, c0, c1, first_pass: bool = False):
     """Merge one pass's pass-local spill into the chunk's global slab
     (invariant I6): lane `b`'s pass row `s` holds its global chunk row
     `c0[b] + s`; only rows in `[c0, c1)` were committed this pass.
 
     `slab`/`spill`: `(tc, ..., B)` (any middle dims); `c0`/`c1`: `(1, B)`
-    commit cursors at pass entry/exit.
+    commit cursors at pass entry/exit. `first_pass=True` asserts `c0 == 0`
+    (pass 1 always starts every lane at cursor 0), reducing the merge to
+    one row-masked select. Later passes realize the per-lane row shift as
+    a log2(tc) doubling roll (`_roll_to_base`'s trick) — a general
+    `take_along_axis` gather here measured ~100x slower than the whole
+    eval rollout on TPU (DoorKey regen collect: 9.8 s vs 92 ms a call).
     """
     tc = spill.shape[0]
     b = spill.shape[-1]
@@ -144,10 +149,18 @@ def _merge_spill(slab, spill, c0, c1):
     spill3 = spill.reshape(tc, -1, b)
     slab3 = slab.reshape(tc, -1, b)
     i = jnp.arange(tc, dtype=jnp.int32)[:, None]  # (tc, 1)
-    idx = jnp.clip(i - c0, 0, tc - 1)  # (tc, B)
-    g = jnp.take_along_axis(
-        spill3, jnp.broadcast_to(idx[:, None, :], spill3.shape), axis=0
-    )
+    if first_pass:
+        valid = (i < c1)[:, None, :]
+        return jnp.where(valid, spill3, slab3).reshape(shape)
+    # g[i] = spill[i - c0] realized as a roll by (tc - c0) mod tc; rows
+    # that wrap land outside [c0, c1) and are masked off.
+    shift = (tc - c0) % tc  # (1, B)
+    g = spill3
+    s = 1
+    while s < tc:
+        rolled = jnp.concatenate([g[s:], g[:s]], axis=0)
+        g = jnp.where(((shift // s) % 2 == 1)[:, None, :], rolled, g)
+        s *= 2
     valid = ((i >= c0) & (i < c1))[:, None, :]
     return jnp.where(valid, g, slab3).reshape(shape)
 
@@ -260,7 +273,9 @@ def build_chunked_regen(
             words, regs, ctl, rsum, epi, csum = out[:6]
             if collect:
                 slab = jax.tree.map(
-                    lambda sl, sp: _merge_spill(sl, sp, zeros_b, ctl[1:2, :]),
+                    lambda sl, sp: _merge_spill(
+                        sl, sp, zeros_b, ctl[1:2, :], first_pass=True
+                    ),
                     slab, out[6],
                 )
             consumed = ctl[0] == 1  # (B,)

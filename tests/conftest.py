@@ -38,3 +38,28 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update(
     "jax_persistent_cache_min_compile_time_secs", 0.1 if _WRITE else 1e9
 )
+
+# Cache-staleness notice: a cold suite costs ~50 min on this box vs ~13
+# warm. tools_warm_cache.py stamps /tmp/jax_cache/MANIFEST with a source
+# hash after a successful warming run; warn (once, in the controller
+# process) when the sources have drifted since.
+if os.environ.get("PYTEST_XDIST_WORKER") is None:
+    try:
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        from tools_warm_cache import source_manifest
+
+        _m = pathlib.Path("/tmp/jax_cache/MANIFEST")
+        _repo = pathlib.Path(__file__).resolve().parent.parent
+        if not _m.exists() or _m.read_text() != source_manifest(str(_repo)):
+            print(
+                "[conftest] NOTE: the persistent compile cache was warmed "
+                "for a DIFFERENT source state (or never) — this run will "
+                "pay cold XLA compiles (~50 min vs ~13 warm). Run "
+                "`python tools_warm_cache.py` to re-warm.",
+                flush=True,
+            )
+    except Exception:
+        pass

@@ -12,11 +12,31 @@ Usage: python tools_warm_cache.py [extra pytest args...]
 
 from __future__ import annotations
 
+import hashlib
 import os
 import subprocess
 import sys
 
 MAX_ATTEMPTS = 12
+
+CACHE_DIR = "/tmp/jax_cache"
+
+
+def source_manifest(root: str = ".") -> str:
+    """Content hash of everything whose change can invalidate compiled
+    programs (package + tests). Written to the cache dir on a successful
+    warm; tests/conftest.py compares it and warns when the cache is
+    stale (VERDICT r4 #8: cold suites silently cost ~50 min vs ~13)."""
+    h = hashlib.sha256()
+    for base in ("minigrid_tpu", "tests"):
+        for dirpath, _, files in sorted(os.walk(os.path.join(root, base))):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    path = os.path.join(dirpath, f)
+                    h.update(path.encode())
+                    with open(path, "rb") as fh:
+                        h.update(fh.read())
+    return h.hexdigest()
 
 
 def main() -> int:
@@ -29,7 +49,10 @@ def main() -> int:
             env=env,
         )
         if proc.returncode == 0:
-            print("[warm_cache] suite green, cache warm")
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            with open(os.path.join(CACHE_DIR, "MANIFEST"), "w") as fh:
+                fh.write(source_manifest())
+            print("[warm_cache] suite green, cache warm (manifest stamped)")
             return 0
         if proc.returncode in (-11, 139, 134, -6):
             print(f"[warm_cache] crashed (rc={proc.returncode}); retrying — "
