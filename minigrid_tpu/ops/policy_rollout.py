@@ -420,7 +420,10 @@ def _auto_lane_block_policy(
         + 2 * v2  # vw/vis scratch
         + (v2 * _F) // 2 + 256  # feature block + hidden (bf16)
         + 64  # temporaries slack
-        + (step_chunk * _spill_rows(v2) if collect else 0)
+        # Spill OUTPUT block counts twice: Mosaic double-buffers grid
+        # output windows (a chunk_exact regen run at regen_chunk=128
+        # OOM'd scoped VMEM with the single-counted estimate).
+        + (2 * step_chunk * _spill_rows(v2) if collect else 0)
     )
     max_lanes = max(0, _VMEM_BUDGET_BYTES - weight_bytes) // (4 * words_per_lane)
     return (max_lanes // 128) * 128
