@@ -321,6 +321,65 @@ def run_policy_eval(
     return best
 
 
+def run_mixed_policy_eval(
+    env_ids: str, batch_size: int, num_steps: int, iters: int, path: str,
+    mode: str,
+) -> float:
+    """env-steps/s on a heterogeneous batch with each member family's OWN
+    actor fused into its step kernel (parallel.mixed.build_mixed_policy_eval;
+    steady carry surface)."""
+    from minigrid_tpu.models.policy import ActorCritic
+    from minigrid_tpu.ops.fused_rollout import packed_init
+    from minigrid_tpu.parallel.mixed import build_mixed_policy_eval
+
+    ids = [e.strip() for e in env_ids.split(",")]
+    per = batch_size // len(ids)
+    key = jax.random.PRNGKey(0)
+    key, k_reset = jax.random.split(key)
+    params = []
+    envs = [minigrid_tpu.make(e) for e in ids]
+    for i, env in enumerate(envs):
+        v = env.config.agent_view_size
+        model = ActorCritic(num_actions=env.num_actions)
+        params.append(
+            model.init(
+                jax.random.fold_in(key, 100 + i),
+                jnp.zeros((1, v, v, 3), jnp.uint8),
+            )
+        )
+    carries = tuple(
+        jax.jit(lambda s, e=e: packed_init(e, s, mode))(
+            jax.jit(e.reset_batch, static_argnums=1)(
+                jax.random.fold_in(k_reset, i), per
+            )[0]
+        )
+        for i, e in enumerate(envs)
+    )
+    backend = "pallas" if mosaic_available() else "xla"
+    if path in ("packed", "xla"):
+        backend = "xla"
+    step = build_mixed_policy_eval(ids, params, num_steps, mode=mode,
+                                   backend=backend)
+    _prov(backend, surface="mixed_policy_eval")
+
+    def fence(metrics):
+        return float(metrics.total_reward) + int(metrics.total_steps)
+
+    carries, metrics = step(key, carries)  # compile + warm
+    fence(metrics)
+    best = 0.0
+    n = per * len(ids)
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        carries, metrics = step(key, carries)
+        fence(metrics)
+        dt = time.perf_counter() - t0
+        PROV.setdefault("iter_secs", []).append(round(dt, 4))
+        best = max(best, n * num_steps / dt)
+    return best
+
+
 def run_mixed(
     env_ids: str, batch_size: int, num_steps: int, iters: int, path: str,
     mode: str, carry: bool = False,
@@ -488,6 +547,19 @@ def main():
         "one packed lane block per family",
     )
     args = p.parse_args()
+
+    if args.mixed and args.policy_eval:
+        steps_per_sec = run_mixed_policy_eval(
+            args.mixed, args.batch_size, args.num_steps, args.iters,
+            args.path, args.mode,
+        )
+        emit(
+            f"mixed_policy_eval_env_steps_per_sec[{args.mixed} "
+            f"B={args.batch_size}]",
+            steps_per_sec,
+            args.mode,
+        )
+        return
 
     if args.mixed:
         steps_per_sec = run_mixed(
