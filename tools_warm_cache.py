@@ -46,15 +46,24 @@ def main() -> int:
         print(f"[warm_cache] attempt {attempt}", flush=True)
         proc = subprocess.run(
             [sys.executable, "-m", "pytest", *args, "-q", "-p", "no:cacheprovider"],
-            env=env,
+            env=env, capture_output=True, text=True,
         )
+        sys.stdout.write(proc.stdout[-4000:])
+        sys.stderr.write(proc.stderr[-2000:])
         if proc.returncode == 0:
             os.makedirs(CACHE_DIR, exist_ok=True)
             with open(os.path.join(CACHE_DIR, "MANIFEST"), "w") as fh:
                 fh.write(source_manifest())
             print("[warm_cache] suite green, cache warm (manifest stamped)")
             return 0
-        if proc.returncode in (-11, 139, 134, -6):
+        # A segfaulting xdist WORKER surfaces as rc=1 with a "node down"
+        # marker (the serialize crash this script exists for), not as a
+        # signal exit code — treat it as a crash and retry.
+        crashed = proc.returncode in (-11, 139, 134, -6) or (
+            "node down: Not properly terminated" in proc.stdout
+            or "node down: Not properly terminated" in proc.stderr
+        )
+        if crashed:
             print(f"[warm_cache] crashed (rc={proc.returncode}); retrying — "
                   "entries written so far persist")
             continue
