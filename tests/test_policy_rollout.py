@@ -530,3 +530,76 @@ class TestPackedGradPass:
                 a_, b_ = np.asarray(p1[torso][leaf]), np.asarray(p2[torso][leaf])
                 scale = np.abs(a_).max() + 1e-9
                 assert np.abs(a_ - b_).max() / scale < 0.05, (torso, leaf)
+
+
+class TestGradKernel:
+    """ops/grad_kernel.py (experimental fused fwd+bwd Pallas gradient
+    kernel, interpret mode): hand-derived cotangents must match autodiff
+    of the identical loss — f32 head grads tightly, bf16 torso grads to
+    rounding tolerance, loss-term sums near-exactly."""
+
+    def test_matches_autodiff(self):
+        from minigrid_tpu.ops.fused_rollout import packed_init
+        from minigrid_tpu.ops.grad_kernel import build_grad_kernel
+        from minigrid_tpu.ops.policy_rollout import (
+            build_fused_train_rollout,
+            policy_logits,
+            train_weights_from_params,
+        )
+        from minigrid_tpu.parallel import train as T
+        from minigrid_tpu.parallel.sharding import make_env_mesh
+
+        env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+        ts = T.init_train_state(
+            jax.random.PRNGKey(0), env, make_env_mesh()
+        )
+        Bk, Tk = 128, 8
+        states, _ = jax.jit(env.reset_batch, static_argnums=1)(
+            jax.random.PRNGKey(1), Bk
+        )
+        carry = jax.jit(lambda s: packed_init(env, s, "regen"))(states)
+        roll = jax.jit(
+            build_fused_train_rollout(
+                env, Tk, mode="regen", backend="xla", raw_obs=True
+            )
+        )
+        _, traj, _ = roll(ts.params, jax.random.PRNGKey(2), carry)
+        obs_w, actions, _, value, reward, done = traj
+        v = env.config.agent_view_size
+        returns = T._trajectory_returns(reward, done, 0.99)
+        adv = returns - value
+        denom = float(Tk * Bk)
+        w = train_weights_from_params(ts.params, v)
+
+        def loss_w(w):
+            tot = 0.0
+            for s in range(Tk):
+                head = policy_logits(
+                    obs_w[s], jnp.ones_like(obs_w[s]), w, v
+                )
+                logits = head[: env.num_actions]
+                logp_all = jax.nn.log_softmax(logits, axis=0)
+                lp = jnp.take_along_axis(
+                    logp_all, actions[s][None], axis=0
+                )[0]
+                ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=0)
+                tot = tot + (
+                    -jnp.sum(lp * adv[s])
+                    + 0.5 * jnp.sum((head[7] - returns[s]) ** 2)
+                    - 0.01 * jnp.sum(ent)
+                ) / denom
+            return tot
+
+        gw_ref = jax.jit(jax.grad(loss_w))(w)
+        gk = build_grad_kernel(
+            v, env.num_actions, Tk, Bk, denom, 0.5, 0.01, tc=4, bt=128,
+            interpret=True,
+        )
+        gw_k, sums = jax.jit(gk)(w, obs_w, actions, adv, returns)
+        for name, a, b in zip(gw_ref._fields, gw_ref, gw_k):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            tol = 1e-4 if name in ("wta", "ba") else 0.05
+            assert rel < tol, (name, rel)
+        assert np.all(np.isfinite(np.asarray(sums)))
