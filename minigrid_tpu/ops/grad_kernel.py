@@ -23,7 +23,15 @@ autodiff (f32 heads exact, bf16 torso to ~1%) and every sub-pattern
 980-lane accumulators/outputs, 3D obs blocks) compiles standalone on
 v5e, but the FULL kernel crashes this environment's remote
 tpu_compile_helper (exit 1, no diagnostic surfaced) under both
-dimension-semantics settings. Projected win if it lands: the XLA
+dimension-semantics settings. Bisection (2026-08-21): forward-only
+compiles; each accumulator path consuming the relu-masked cotangents
+(dh1/dh2) crashes INDIVIDUALLY at any tile size (bt 128-1024), while the
+same dots fed the UNMASKED f32 matmul output compile — select-mask,
+f32-multiply-then-cast, and cast-then-bf16-multiply formulations all
+crash identically, though the forward uses the identical
+bf16-elementwise-into-dot pattern successfully. Points at a Mosaic
+internal fault in this environment's compiler rather than a kernel
+authoring error. Projected win if it lands: the XLA
 gradient pass is ~170 ms at B=32k/T=256 vs a ~97 ms pure-matmul floor,
 i.e. the fused train step's 26.4M steps/s -> ~40M+.
 
