@@ -51,7 +51,13 @@ Equivalence to the flax model: `policy_logits` mirrors
 `models.policy.ActorCritic.__call__` op for op (bf16 torso matmuls with
 bf16 outputs, f32 head) on a transposed weight layout, so it agrees with
 `model.apply` to bf16 matmul-order tolerance (asserted allclose); kernel
-vs XLA twin agree exactly (same ops, same order).
+vs XLA twin agree exactly (same ops, same order). Hardware caveat,
+measured 2026-08-21 on 1x v5e: on REAL TPU the two backends remain
+byte-identical in every integer quantity and every f32 logp/value — but
+the f32 reward expression may differ in the LAST ULP on a handful of
+lanes (2/32,768 at 6e-8; FMA contraction differs between Mosaic and
+XLA:TPU under the terminal's --xla_allow_excess_precision). Actions,
+states, obs, and episode accounting are unaffected.
 """
 
 from __future__ import annotations
