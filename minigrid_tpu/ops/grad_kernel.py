@@ -16,24 +16,31 @@ Math: identical term-for-term to `_trajectory_grads_packed`'s
 cotangents); floating-point association differs, so gradients agree to
 float tolerance (asserted vs the XLA pass in tests/test_policy_rollout.py).
 
-STATUS — EXPERIMENTAL, interpret-mode verified, NOT wired into
-`build_fused_train_step`: the kernel validates numerically against
-autodiff (f32 heads exact, bf16 torso to ~1%) and every sub-pattern
-(lane-contracted dot_generals incl. K=8, (8, bt) head math, unaligned
-980-lane accumulators/outputs, 3D obs blocks) compiles standalone on
-v5e, but the FULL kernel crashes this environment's remote
-tpu_compile_helper (exit 1, no diagnostic surfaced) under both
-dimension-semantics settings. Bisection (2026-08-21): forward-only
-compiles; each accumulator path consuming the relu-masked cotangents
-(dh1/dh2) crashes INDIVIDUALLY at any tile size (bt 128-1024), while the
-same dots fed the UNMASKED f32 matmul output compile — select-mask,
-f32-multiply-then-cast, and cast-then-bf16-multiply formulations all
-crash identically, though the forward uses the identical
-bf16-elementwise-into-dot pattern successfully. Points at a Mosaic
-internal fault in this environment's compiler rather than a kernel
-authoring error. Projected win if it lands: the XLA
-gradient pass is ~170 ms at B=32k/T=256 vs a ~97 ms pure-matmul floor,
-i.e. the fused train step's 26.4M steps/s -> ~40M+.
+STATUS — PRODUCTION: the default gradient pass of
+`parallel.train.build_fused_train_step` on the pallas path
+(`grad_backend="kernel"`, via `_trajectory_grads_kernel`). Verified
+against autodiff in interpret mode (tests/test_policy_rollout.py
+TestGradKernel) and against the XLA packed pass both on-chip
+(tools/bench_grad_kernel.py: f32 heads ≤7e-3, bf16 torso ≤2.5% at
+B=32k/T=256 — reduction-order noise at 8.4M samples) and through the
+train.py dispatch (test_grad_backend_kernel_matches_xla). Measured
+89.6 ms vs the XLA pass's ~246 ms at B=32,768/T=256 on v5e — at the
+~97 ms pure-matmul floor — lifting the full fused train step from
+26.4M to 50.8M env-steps/s (B=32k regen; 57.1M at B=131k).
+
+MOSAIC CRASH POSTMORTEM (round 5, kept for the record): the kernel
+originally crashed this environment's remote tpu_compile_helper (exit 1,
+no diagnostic) under both dimension-semantics settings, while
+forward-only and every backward dot compiled standalone. Bisection
+(2026-08-21, tools/probe_mosaic.py): any accumulator dot consuming a
+relu-masked cotangent crashed — select-mask, bitwise-and on the bf16
+bit pattern, int16-select-then-bitcast, a VMEM scratch roundtrip,
+f32-dtype where, and lax.optimization_barrier ALL crashed identically.
+The trigger is specifically a **bf16-dtype comparison** (`h_pre > 0`
+with `h_pre: bf16`) feeding that dataflow; comparing the EXACT f32
+upcast (`h_pre.astype(f32) > 0` — bit-identical mask, since bf16->f32
+is exact) compiles and runs. Both relu-backward masks below use the
+upcast form.
 
 Reference anchor: this is learner-side machinery the reference never had
 (SURVEY.md §2.11) — the training loop it accelerates consumes
@@ -187,14 +194,25 @@ def _grad_kernel(
         a_ba[:] += jnp.dot(dhead, ones_b, preferred_element_type=jnp.float32)
         dh2f = mm_tn(wta, dhead)
         # h2 = relu(bf16(h2d) + b2); grads flow in bf16 past the cast.
-        dh2 = jnp.where(h2p > 0, dh2f.astype(jnp.bfloat16), 0)
+        # The relu mask compares the EXACT f32 upcast of the bf16
+        # pre-activation, not the bf16 value itself: a bf16-dtype compare
+        # feeding a dot-consumed cotangent crashes this environment's
+        # Mosaic compiler (tools/probe_mosaic.py: base_where/bitand/
+        # int-select/scratch/f32-dot/opt-barrier ALL crash; upcast_cmp
+        # compiles). bf16->f32 upcast is exact, so the mask is
+        # bit-identical to `h2p > 0`.
+        dh2 = jnp.where(
+            h2p.astype(jnp.float32) > 0, dh2f, 0.0
+        ).astype(jnp.bfloat16)
         a_b2[:] += jnp.dot(
             dh2.astype(jnp.float32), ones_b,
             preferred_element_type=jnp.float32,
         )
         a_w2[:] += mm_nt(dh2, h1)
         dh1f = mm_tn(wt2, dh2)
-        dh1 = jnp.where(h1p > 0, dh1f.astype(jnp.bfloat16), 0)
+        dh1 = jnp.where(
+            h1p.astype(jnp.float32) > 0, dh1f, 0.0
+        ).astype(jnp.bfloat16)
         a_b1[:] += jnp.dot(
             dh1.astype(jnp.float32), ones_b,
             preferred_element_type=jnp.float32,

@@ -511,7 +511,19 @@ def _build_policy_core(
             b = words0.shape[1]
             bt = min(bt0, b)
             if b % bt:
-                raise ValueError(f"batch {b} not divisible by block {bt}")
+                # The VMEM-budgeted auto block is a multiple of 128 but
+                # not necessarily a divisor of b (e.g. 384 at DoorKey-8x8
+                # collect): step down to the largest 128-multiple that
+                # divides b.
+                cand = (bt // 128) * 128
+                while cand >= 128 and b % cand:
+                    cand -= 128
+                if cand < 128:
+                    raise ValueError(
+                        f"batch {b} not divisible by block {bt} and no "
+                        f"128-multiple divisor fits"
+                    )
+                bt = cand
             state_block = lambda rows: pl.BlockSpec(
                 (rows, bt), lambda i, j: (0, i)
             )
