@@ -85,7 +85,6 @@ def generate_packed(keys: jnp.ndarray, config: EnvConfig):
         LEFT,
         RIGHT,
         UP,
-        connect_plan,
         init_plan,
         rand_color,
     )
@@ -206,9 +205,15 @@ def generate_packed(keys: jnp.ndarray, config: EnvConfig):
     )
     start_i = jnp.minimum(ax // (rs - 1), cols - 1)
     start_j = jnp.minimum(ay // (rs - 1), rows - 1)
-    has_door_f, colors_f = jax.vmap(
-        lambda k, si, sj, l2, hd: connect_plan(k, config, si, sj, l2, hd)
-    )(k_conn, start_i, start_j, locked_2d, prior)
+    # The randomized door loop runs IN-KERNEL (ops/gen_kernel.py) — the
+    # vmapped XLA while_loop was the dominant cost of batched KeyCorridor
+    # generation (220 ms at B=32k vs 32 ms in-kernel; bit-identical
+    # draws, tests/test_gen_kernel.py).
+    from minigrid_tpu.ops.gen_kernel import connect_plan_batched
+
+    has_door_f, colors_f = connect_plan_batched(
+        k_conn, config, start_i, start_j, locked_2d, prior
+    )
 
     closed_base = C.DOOR | (C.STATE_CLOSED << 8)
     for j in range(rows):
