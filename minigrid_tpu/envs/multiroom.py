@@ -170,6 +170,71 @@ class Plan(NamedTuple):
     k_goal: jnp.ndarray  # (2,) uint32 — goal cell draw
 
 
+def _door_colors(k2: jax.Array, n: jnp.ndarray, nmax: int) -> jnp.ndarray:
+    """Entry-door colors: consecutive-distinct, drawn in the reference's
+    sorted-color-list coordinates (no grid dependency)."""
+    door_keys = jax.random.split(k2, nmax)
+    prev_sorted = jnp.int32(-1)
+    color_order = jnp.asarray(COLOR_ORDER, jnp.uint8)
+    door_colors = jnp.zeros((nmax,), jnp.uint8)
+    for i in range(1, nmax):
+        act = i < n
+        has_prev = prev_sorted >= 0
+        r6 = jax.random.randint(door_keys[i], (), 0, 6)
+        r5 = jax.random.randint(door_keys[i], (), 0, 5)
+        pick = jnp.where(has_prev, jnp.where(r5 >= prev_sorted, r5 + 1, r5), r6)
+        door_colors = door_colors.at[i].set(color_order[pick])
+        prev_sorted = jnp.where(act, pick, prev_sorted)
+    return door_colors
+
+
+def _plan_batched(keys: jnp.ndarray, config: EnvConfig, backend: str = "xla"):
+    """Batched `_plan`. `backend="kernel"` routes the retry/`_try_chain`
+    loop (93% of MultiRoom generation time at B=32k: 64.5 of 69 ms)
+    through the Pallas loop (`ops.gen_kernel.multiroom_chain_batched`,
+    bit-identical — tests/test_gen_kernel.py), but the DEFAULT is the
+    vmapped XLA loop: measured on v5e (B=32k), the kernel is ~18%
+    SLOWER (73.7 vs 62.4 ms plan; regen row 30.9M vs 33.1M steps/s).
+    Unlike KeyCorridor's `connect_plan` (many tiny draws — dispatch-
+    bound, 6.9x kernel win), MultiRoom's plan is COMPUTE-bound on the
+    Threefry cipher itself (~620 cipher blocks per attempt across 124
+    derived keys), which XLA already runs at roofline; the kernel adds
+    block-granularity tail iterations without removing any work. Kept
+    as an equivalence-tested negative result bounding the in-kernel
+    generation design space."""
+    if backend == "xla":
+        return jax.vmap(lambda k: _plan(k, config))(keys)
+    from minigrid_tpu.ops.gen_kernel import multiroom_chain_batched
+
+    nmax = config.max_num_rooms
+
+    def outer(key):
+        key, k_reset = jax.random.split(key)
+        ks = jax.random.split(key, 6)
+        num_rooms = jax.random.randint(
+            ks[0], (), config.min_num_rooms, config.max_num_rooms + 1
+        )
+        return k_reset, ks, num_rooms
+
+    k_reset, ks, num_rooms = jax.vmap(outer)(keys)
+    tops, sizes, entry, count = multiroom_chain_batched(
+        ks[:, 1], num_rooms, config, MAX_ATTEMPTS
+    )
+    chain = Chain(tops, sizes, entry, count)
+    door_colors = jax.vmap(lambda k, n: _door_colors(k, n, nmax))(
+        ks[:, 2], count
+    )
+    agent_dir = jax.vmap(sampling.sample_direction)(ks[:, 4])
+    return Plan(
+        k_reset=k_reset,
+        chain=chain,
+        door_colors=door_colors,
+        k_agent=ks[:, 3],
+        agent_dir=agent_dir,
+        k_goal=ks[:, 5],
+    )
+
+
 def _plan(key: jax.Array, config: EnvConfig) -> Plan:
     nmax = config.max_num_rooms
     key, k_reset = jax.random.split(key)
@@ -201,20 +266,7 @@ def _plan(key: jax.Array, config: EnvConfig) -> Plan:
     chain, _, _ = lax.while_loop(cond, body, (empty_chain, ks[1], jnp.int32(0)))
     n = chain.count  # dynamic <= nmax
 
-    # Entry-door colors: consecutive-distinct, drawn in the reference's
-    # sorted-color-list coordinates (no grid dependency).
-    door_keys = jax.random.split(ks[2], nmax)
-    prev_sorted = jnp.int32(-1)
-    color_order = jnp.asarray(COLOR_ORDER, jnp.uint8)
-    door_colors = jnp.zeros((nmax,), jnp.uint8)
-    for i in range(1, nmax):
-        act = i < n
-        has_prev = prev_sorted >= 0
-        r6 = jax.random.randint(door_keys[i], (), 0, 6)
-        r5 = jax.random.randint(door_keys[i], (), 0, 5)
-        pick = jnp.where(has_prev, jnp.where(r5 >= prev_sorted, r5 + 1, r5), r6)
-        door_colors = door_colors.at[i].set(color_order[pick])
-        prev_sorted = jnp.where(act, pick, prev_sorted)
+    door_colors = _door_colors(ks[2], n, nmax)
 
     return Plan(
         k_reset=k_reset,
@@ -296,7 +348,7 @@ def generate_packed(keys: jnp.ndarray, config: EnvConfig):
     w, h = config.width, config.height
     nmax = config.max_num_rooms
     b = keys.shape[0]
-    plan = jax.vmap(lambda k: _plan(k, config))(keys)
+    plan = _plan_batched(keys, config)
     chain, n = plan.chain, plan.chain.count  # arrays (B, ...), (B,)
 
     xs, ys = PG.xy_iota(h, w)

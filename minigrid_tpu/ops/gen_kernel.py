@@ -193,6 +193,235 @@ def _connect_kernel(
     colors_out[:] = colors_f
 
 
+def _rint_rows(H, L, row, lo, hi):
+    """`jax.random.randint(keys[row], (), lo, hi)` from the precomputed
+    higher/lower bit tiles (`H`/`L`, `(R, bt)` int32). `hi` may be a
+    static int or a `(1, bt)` traced bound (the double-width modular
+    reduction then computes `2^31 mod span` / the multiplier per lane;
+    `2^31` itself is realized as `((2^30 mod s)·2) mod s` to stay in
+    int32)."""
+    h = H[row : row + 1, :]
+    l_ = L[row : row + 1, :]
+    if isinstance(hi, int) and isinstance(lo, int):
+        n = hi - lo
+        m = jnp.int32(((1 << 16) % n) ** 2 % n)
+        off = (_u_mod(h, n) * m + _u_mod(l_, n)) % jnp.int32(n)
+        return off + jnp.int32(lo)
+    s = jnp.asarray(hi, jnp.int32) - jnp.int32(lo)
+    m16 = jnp.int32(1 << 16) % s
+    m = (m16 * m16) % s
+    m31 = ((jnp.int32(1 << 30) % s) * 2) % s
+
+    def umod(x):
+        hi_bit = lax.shift_right_logical(x, 31)
+        lo31 = x & jnp.int32(0x7FFFFFFF)
+        return (hi_bit * m31 + lo31 % s) % s
+
+    off = (umod(h) * m + umod(l_)) % s
+    return off + jnp.int32(lo)
+
+
+def _mr_chain_kernel(
+    key_ref, nr_ref,
+    tx_out, ty_out, sx_out, sy_out, ex_out, ey_out, cnt_out,
+    *,
+    w: int, h: int, nmax: int, min_sz: int, max_sz: int, max_attempts: int,
+):
+    """`envs.multiroom._plan`'s retry-until-enough-rooms loop, in-kernel:
+    each iteration is one full `_try_chain` attempt (the reference's
+    `_placeRoom` recursion flattened to nmax·8 masked tries), the best
+    chain rides VMEM, and the while exits when every lane of THIS block
+    has its target room count. Draw-for-draw identical to the XLA path
+    (same split tree, same randint reductions, candidate merge gated on
+    `cand.count > best.count` exactly as `_plan`'s body)."""
+    bt = key_ref.shape[1]
+    r_used = 4 + 5 * 8 * (nmax - 1)
+    cnt_rows = lax.broadcasted_iota(jnp.int32, (r_used, bt), 0)
+    zr = jnp.zeros((r_used, bt), jnp.int32)
+
+    k0 = key_ref[0:1, :]
+    k1 = key_ref[1:2, :]
+    nr = nr_ref[:]
+
+    zero = jnp.zeros((1, bt), jnp.int32)
+
+    def attempt(s0, s1):
+        """One `_try_chain(sub)`; returns (rows..., count)."""
+        ska, skb = threefry2x32(
+            jnp.broadcast_to(s0, (r_used, bt)),
+            jnp.broadcast_to(s1, (r_used, bt)),
+            zr, cnt_rows,
+        )
+        c1a, c1b = threefry2x32(ska, skb, zr, zr)
+        c2a, c2b = threefry2x32(ska, skb, zr, jnp.ones_like(zr))
+        ha, hb = threefry2x32(c1a, c1b, zr, zr)
+        la, lb = threefry2x32(c2a, c2b, zr, zr)
+        H = ha ^ hb
+        L = la ^ lb
+
+        tx = [zero] * nmax
+        ty = [zero] * nmax
+        sxr = [zero] * nmax
+        syr = [zero] * nmax
+        exr = [zero] * nmax
+        eyr = [zero] * nmax
+
+        ex = _rint_rows(H, L, 0, 0, w - 2)
+        ey = _rint_rows(H, L, 1, 0, w - 2)
+        sx = _rint_rows(H, L, 2, min_sz, max_sz + 1)
+        sy = _rint_rows(H, L, 3, min_sz, max_sz + 1)
+        first_ok = (ex + sx <= w) & (ey + sy < h)
+        tx[0], ty[0] = ex, ey
+        sxr[0], syr[0] = sx, sy
+        exr[0], eyr[0] = ex, ey
+        count = jnp.where(first_ok, 1, 0)
+        entry_wall = jnp.full((1, bt), 2, jnp.int32)
+
+        for i in range(1, nmax):
+            ptx, pty = tx[i - 1], ty[i - 1]
+            psx, psy = sxr[i - 1], syr[i - 1]
+            placed = jnp.zeros((1, bt), bool)
+            need = (count == i) & (jnp.int32(i) < nr)
+            for t in range(8):
+                base = 4 + 5 * (8 * (i - 1) + t)
+                r = _rint_rows(H, L, base, 0, 3)
+                exit_wall = jnp.where(r >= entry_wall, r + 1, r)
+                rx = _rint_rows(H, L, base + 1, 1, jnp.maximum(2, psx - 1))
+                ry = _rint_rows(H, L, base + 1, 1, jnp.maximum(2, psy - 1))
+                sel = lambda v0, v1, v2, v3: jnp.where(  # noqa: E731
+                    exit_wall == 0, v0, jnp.where(
+                        exit_wall == 1, v1,
+                        jnp.where(exit_wall == 2, v2, v3),
+                    )
+                )
+                exit_x = sel(ptx + psx - 1, ptx + rx, ptx, ptx + rx)
+                exit_y = sel(pty + ry, pty + psy - 1, pty + ry, pty)
+                new = (exit_wall + 2) % 4
+                csx = _rint_rows(H, L, base + 2, min_sz, max_sz + 1)
+                csy = _rint_rows(H, L, base + 3, min_sz, max_sz + 1)
+                off_hi = jnp.maximum(
+                    1, jnp.where((new == 0) | (new == 2), csy - 2, csx - 2)
+                )
+                off = _rint_rows(H, L, base + 4, 0, off_hi)
+                nsel = lambda v0, v1, v2, v3: jnp.where(  # noqa: E731
+                    new == 0, v0, jnp.where(
+                        new == 1, v1, jnp.where(new == 2, v2, v3),
+                    )
+                )
+                ctx = nsel(exit_x - csx + 1, exit_x - csx + 2 + off,
+                           exit_x, exit_x - csx + 2 + off)
+                cty = nsel(exit_y - csy + 2 + off, exit_y - csy + 1,
+                           exit_y - csy + 2 + off, exit_y)
+                in_bounds = (
+                    (ctx >= 0) & (cty >= 0) & (ctx + csx <= w)
+                    & (cty + csy < h)
+                )
+                overlap = jnp.zeros((1, bt), bool)
+                for jr in range(i - 1):
+                    non = (
+                        (ctx + csx < tx[jr]) | (tx[jr] + sxr[jr] <= ctx)
+                        | (cty + csy < ty[jr]) | (ty[jr] + syr[jr] <= cty)
+                    )
+                    overlap |= ~non
+                ok = need & ~placed & in_bounds & ~overlap
+                tx[i] = jnp.where(ok, ctx, tx[i])
+                ty[i] = jnp.where(ok, cty, ty[i])
+                sxr[i] = jnp.where(ok, csx, sxr[i])
+                syr[i] = jnp.where(ok, csy, syr[i])
+                exr[i] = jnp.where(ok, exit_x, exr[i])
+                eyr[i] = jnp.where(ok, exit_y, eyr[i])
+                entry_wall = jnp.where(ok, new, entry_wall)
+                placed = placed | ok
+            count = jnp.where(placed, i + 1, count)
+        return tx, ty, sxr, syr, exr, eyr, count
+
+    def cat(rows):
+        return jnp.concatenate(rows, axis=0)
+
+    def cond(carry):
+        k0, k1, tx, ty, sxr, syr, exr, eyr, count, itrs = carry
+        active = (count < nr) & (itrs < max_attempts)
+        return jnp.sum(jnp.where(active, 1, 0)) > 0
+
+    def body(carry):
+        k0, k1, tx, ty, sxr, syr, exr, eyr, count, itrs = carry
+        active = (count < nr) & (itrs < max_attempts)
+        nk0, nk1 = threefry2x32(k0, k1, zero, zero)
+        s0, s1 = threefry2x32(k0, k1, zero, jnp.ones_like(zero))
+        ctx_, cty_, csx_, csy_, cex_, cey_, ccnt = attempt(s0, s1)
+        upd = active & (ccnt > count)
+
+        def mrg(new_rows, old):
+            return jnp.where(upd, cat(new_rows), old)
+
+        return (
+            jnp.where(active, nk0, k0), jnp.where(active, nk1, k1),
+            mrg(ctx_, tx), mrg(cty_, ty), mrg(csx_, sxr), mrg(csy_, syr),
+            mrg(cex_, exr), mrg(cey_, eyr),
+            jnp.where(upd, ccnt, count),
+            itrs + jnp.where(active, 1, 0),
+        )
+
+    znm = jnp.zeros((nmax, bt), jnp.int32)
+    carry0 = (k0, k1, znm, znm, znm, znm, znm, znm, zero, zero)
+    (_, _, tx, ty, sxr, syr, exr, eyr, count, _) = lax.while_loop(
+        cond, body, carry0
+    )
+    tx_out[:] = tx
+    ty_out[:] = ty
+    sx_out[:] = sxr
+    sy_out[:] = syr
+    ex_out[:] = exr
+    ey_out[:] = eyr
+    cnt_out[:] = count
+
+
+def multiroom_chain_batched(
+    retry_keys: jnp.ndarray,  # (B, 2) uint32 — `_plan`'s ks[1]
+    num_rooms: jnp.ndarray,  # (B,) int32
+    config: EnvConfig,
+    max_attempts: int,
+    bt: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """The Pallas chain loop: returns `(tops (B, nmax, 2), sizes, entry,
+    count (B,))` — bit-identical to the `lax.while_loop` over
+    `_try_chain` inside `vmap(envs.multiroom._plan)`."""
+    from minigrid_tpu.utils.platform import mosaic_available
+
+    b = retry_keys.shape[0]
+    nmax = config.max_num_rooms
+    if interpret is None:
+        interpret = not mosaic_available()
+    if bt is None:
+        bt = _pick_bt(b)
+    kernel = functools.partial(
+        _mr_chain_kernel,
+        w=config.width, h=config.height, nmax=nmax,
+        min_sz=4, max_sz=config.max_room_size, max_attempts=max_attempts,
+    )
+    lane = lambda r: pl.BlockSpec((r, bt), lambda i: (0, i))  # noqa: E731
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[lane(2), lane(1)],
+        out_specs=[lane(nmax)] * 6 + [lane(1)],
+        out_shape=[jax.ShapeDtypeStruct((nmax, b), jnp.int32)] * 6
+        + [jax.ShapeDtypeStruct((1, b), jnp.int32)],
+        interpret=interpret,
+    )(
+        lax.bitcast_convert_type(
+            jnp.asarray(retry_keys).reshape(b, 2), jnp.int32
+        ).T,
+        num_rooms[None, :].astype(jnp.int32),
+    )
+    tx, ty, sxr, syr, exr, eyr, count = outs
+    tops = jnp.stack([tx.T, ty.T], axis=-1)  # (B, nmax, 2)
+    sizes = jnp.stack([sxr.T, syr.T], axis=-1)
+    entry = jnp.stack([exr.T, eyr.T], axis=-1)
+    return tops, sizes, entry, count[0]
+
+
 def _pick_bt(b: int, pref: int = 512) -> int:
     t = min(pref, b)
     while t > 1 and b % t:

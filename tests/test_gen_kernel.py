@@ -91,6 +91,26 @@ class TestConnectPlanKernel:
         np.testing.assert_array_equal(np.asarray(ref_hd), np.asarray(k_hd))
         np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(k_c))
 
+    def test_multiroom_chain_kernel_matches_vmap(self):
+        """The Pallas MultiRoom chain loop is bit-identical to
+        `vmap(_plan)` — kept as a measured NEGATIVE result (the XLA loop
+        is faster on v5e; see `_plan_batched`'s docstring), so the
+        equivalence must keep holding for the kernel to stay honest."""
+        from minigrid_tpu.envs.multiroom import _plan, _plan_batched
+
+        env = minigrid_tpu.make("MiniGrid-MultiRoom-N4-S5-v0")
+        b = 64
+        keys = jnp.asarray(
+            np.asarray(jax.random.split(jax.random.PRNGKey(9), b)),
+            jnp.uint32,
+        )
+        ref = jax.vmap(lambda k: _plan(k, env.config))(keys)
+        got = _plan_batched(keys, env.config, backend="kernel")
+        for name, a, b_ in zip(ref._fields, ref, got):
+            assert jax.tree.all(
+                jax.tree.map(lambda x, y: jnp.array_equal(x, y), a, b_)
+            ), name
+
     def test_generate_packed_still_byte_exact(self):
         """End-to-end: KeyCorridor's packed generator (now routing
         connect_plan through the kernel) stays byte-exact vs the vmap
